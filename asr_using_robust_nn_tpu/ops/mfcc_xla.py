@@ -1,0 +1,163 @@
+"""Fused, batched MFCC frontend as pure XLA — the GEMM-native formulation.
+
+The reference runs librosa's FFT-based MFCC one file at a time in a Python
+loop (`Voice digit recogniton/extract_features_construct_dataset.py:144-150`,
+HOT LOOP #1 in SURVEY.md §3.1). On TPU the hot path is re-designed as a chain
+of dense contractions that XLA tiles straight onto the MXU:
+
+    frames F (B, T, n_fft)                        # slice/concat, no gather
+    P  = (F @ Cr)^2 + (F @ Ci)^2                  # windowed rDFT as 2 matmuls
+    M  = P @ MelW^T                               # mel projection
+    D  = power_to_db(M)  (per-utterance max)      # fused elementwise + reduce
+    C  = D @ Dct^T                                # cepstral projection
+
+All shapes are static; everything vmaps/jits; a Pallas variant of the same
+pipeline lives in ops/pallas_mfcc.py and is selected by the frontend
+dispatcher when it wins on the target hardware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import filters
+
+__all__ = ["FrontendConfig", "frame_signal", "mfcc_xla_batch"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Static parameters of one MFCC parameterization (SURVEY.md §2.2).
+
+    Presets: `digit()` reproduces `librosa.feature.mfcc(y, sr)` defaults used
+    at `Voice digit recogniton/extract_features_construct_dataset.py:30`;
+    `speaker()` reproduces the overrides (win_length=441, n_fft=441,
+    hop_length=220) at `Speaker recognition/extract_features_construct_dataset.py:227-228`.
+    """
+
+    sr: int = 22050
+    n_mfcc: int = 20
+    n_mels: int = 128
+    n_fft: int = 2048
+    hop_length: int = 512
+    win_length: int = 2048
+    utterance_length: int = 44  # output frames after truncate/pad (:18,:33-37)
+    amin: float = 1e-10
+    top_db: float = 80.0
+    precision: str = "highest"  # MXU precision for the DFT/mel/DCT matmuls
+
+    @staticmethod
+    def digit() -> "FrontendConfig":
+        return FrontendConfig()
+
+    @staticmethod
+    def speaker() -> "FrontendConfig":
+        return FrontendConfig(
+            n_fft=441, hop_length=220, win_length=441, utterance_length=101
+        )
+
+    @property
+    def n_freq(self) -> int:
+        return filters.n_fft_bins(self.n_fft)
+
+    @property
+    def feature_dim(self) -> int:
+        return self.n_mfcc * self.utterance_length
+
+    def num_frames(self, n_samples: int) -> int:
+        return 1 + n_samples // self.hop_length
+
+    def constants(self, dtype=np.float32):
+        """(Cr, Ci, MelW^T, Dct^T) as numpy constants for kernel folding."""
+        cr, ci = filters.rdft_matrices(self.n_fft, self.win_length)
+        mel_t = filters.mel_filterbank(self.sr, self.n_fft, self.n_mels).T
+        dct_t = filters.dct_matrix(self.n_mfcc, self.n_mels).T
+        return (
+            cr.astype(dtype),
+            ci.astype(dtype),
+            mel_t.astype(dtype),
+            dct_t.astype(dtype),
+        )
+
+
+def frame_signal(ypad: jnp.ndarray, n_frames: int, n_fft: int, hop: int) -> jnp.ndarray:
+    """Frame a (B, Lpad) center-padded batch into (B, n_frames, n_fft).
+
+    When hop divides n_fft the framing is pure reshape+slice+concat (zero
+    gather traffic); otherwise a static gather is used. Both are traced with
+    static shapes so XLA can lay the result out for the MXU.
+    """
+    if n_fft % hop == 0:
+        k = n_fft // hop
+        n_blocks = ypad.shape[-1] // hop
+        need = n_frames + k - 1
+        if n_blocks < need:
+            ypad = jnp.pad(ypad, ((0, 0), (0, (need - n_blocks) * hop)))
+            n_blocks = need
+        blocks = ypad[:, : n_blocks * hop].reshape(ypad.shape[0], n_blocks, hop)
+        return jnp.concatenate(
+            [blocks[:, j : j + n_frames, :] for j in range(k)], axis=-1
+        )
+    idx = (
+        np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    )  # static (T, n_fft)
+    pad_needed = int(idx.max()) + 1 - ypad.shape[-1]
+    if pad_needed > 0:
+        ypad = jnp.pad(ypad, ((0, 0), (0, pad_needed)))
+    return ypad[:, idx]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mfcc_xla_batch(
+    waves: jnp.ndarray,
+    cfg: FrontendConfig,
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched MFCC: (B, L) float32 waveforms -> (B, n_mfcc, utterance_length).
+
+    `lengths` (B,) marks the true sample count of each (zero-padded) waveform;
+    frames past `1 + length // hop` are excluded from the top_db max and
+    zeroed in the output — matching the reference's per-file semantics where
+    short files are MFCC'd at native length and then zero-padded on the time
+    axis (`Voice digit recogniton/extract_features_construct_dataset.py:33-37`).
+    """
+    b, n_samples = waves.shape
+    n_frames = cfg.num_frames(n_samples)
+    cr, ci, mel_t, dct_t = cfg.constants(np.float32)
+    prec = jax.lax.Precision(cfg.precision.lower())
+
+    pad = cfg.n_fft // 2
+    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)))
+    frames = frame_signal(ypad, n_frames, cfg.n_fft, cfg.hop_length)
+
+    re = jnp.einsum("btn,nk->btk", frames, cr, precision=prec)
+    im = jnp.einsum("btn,nk->btk", frames, ci, precision=prec)
+    power = re * re + im * im  # (B, T, n_freq)
+    mel = jnp.einsum("btk,km->btm", power, mel_t, precision=prec)  # (B, T, n_mels)
+
+    log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
+
+    if lengths is None:
+        valid = jnp.ones((b, n_frames), dtype=bool)
+    else:
+        frame_ids = jnp.arange(n_frames)[None, :]
+        valid = frame_ids < (1 + lengths[:, None] // cfg.hop_length)
+
+    masked = jnp.where(valid[..., None], log_spec, -jnp.inf)
+    utt_max = jnp.max(masked, axis=(1, 2), keepdims=True)
+    db = jnp.maximum(log_spec, utt_max - cfg.top_db)
+
+    mfcc = jnp.einsum("btm,mc->btc", db, dct_t, precision=prec)  # (B, T, n_mfcc)
+    mfcc = jnp.where(valid[..., None], mfcc, 0.0)
+
+    t_out = cfg.utterance_length
+    if n_frames >= t_out:
+        mfcc = mfcc[:, :t_out, :]
+    else:
+        mfcc = jnp.pad(mfcc, ((0, 0), (0, t_out - n_frames), (0, 0)))
+    return jnp.swapaxes(mfcc, 1, 2)  # (B, n_mfcc, T) — reference layout

@@ -1,0 +1,29 @@
+"""Pytest harness: force an 8-device virtual CPU mesh so every multi-chip
+code path (shard_map / pjit over a Mesh) is exercised hermetically, the
+standard JAX fake-multi-device strategy (SURVEY.md §4).
+
+Must set the env vars *before* jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep test numerics deterministic and float32 (matmuls on CPU default to
+# highest precision anyway; on TPU the library requests precision explicitly).
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)

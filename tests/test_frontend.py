@@ -1,0 +1,152 @@
+"""Frontend parity tests (SURVEY.md §4: golden MFCC vectors, tol ~1e-4).
+
+librosa is not in the image, so parity is pinned in two stages:
+  1. the numpy oracle's building blocks are verified against scipy/np.fft
+     (the same libraries librosa calls into), and
+  2. the fused XLA/Pallas kernels are verified against the oracle.
+"""
+
+import numpy as np
+import pytest
+import scipy.fftpack
+import scipy.signal
+
+from asr_using_robust_nn_tpu.ops import filters, frontend_ref
+from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig, mfcc_xla_batch
+
+DIGIT = FrontendConfig.digit()
+SPEAKER = FrontendConfig.speaker()
+
+
+class TestFilters:
+    def test_hann_matches_scipy_periodic(self):
+        for n in (441, 2048):
+            ours = filters.hann_window(n)
+            theirs = scipy.signal.get_window("hann", n, fftbins=True)
+            np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+    def test_dct_matches_scipy_ortho(self, rng):
+        x = rng.standard_normal((128, 7))
+        full = scipy.fftpack.dct(x, axis=0, type=2, norm="ortho")
+        ours = filters.dct_matrix(20, 128) @ x
+        np.testing.assert_allclose(ours, full[:20], atol=1e-10)
+
+    def test_rdft_matches_rfft(self, rng):
+        for n_fft, win in ((2048, 2048), (441, 441)):
+            frame = rng.standard_normal(n_fft)
+            cr, ci = filters.rdft_matrices(n_fft, win)
+            w = filters.pad_center(filters.hann_window(win), n_fft)
+            spec = np.fft.rfft(frame * w)
+            np.testing.assert_allclose(frame @ cr, spec.real, atol=1e-8)
+            np.testing.assert_allclose(frame @ ci, spec.imag, atol=1e-8)
+
+    def test_mel_filterbank_shape_and_properties(self):
+        mel = filters.mel_filterbank(22050, 2048, 128)
+        assert mel.shape == (128, 1025)
+        assert (mel >= 0).all()
+        # every filter is a normalized triangle: single contiguous support
+        assert (mel.sum(axis=1) > 0).all()
+        # slaney norm: peak of filter i ~= 2/(width in Hz); spot-check monotone
+        # center frequencies
+        centers = mel.argmax(axis=1)
+        assert (np.diff(centers) >= 0).all()
+
+    def test_mel_golden_values(self):
+        # Slaney anchors derived by hand: mel(11025 Hz) = 15 + 27*ln(11.025)/
+        # ln(6.4) ≈ 49.912 mel; 130 points → spacing ≈ 0.38692 mel; below
+        # 1 kHz one mel = 200/3 Hz, so the first triangle peaks at
+        # ≈ 25.79 Hz and its peak weight is 2/(width of 2 spacings in Hz).
+        mel = filters.mel_filterbank(22050, 2048, 128)
+        max_mel = 15.0 + 27.0 * np.log(11025.0 / 1000.0) / np.log(6.4)
+        spacing_hz = max_mel / 129.0 * (200.0 / 3)
+        fftfreqs = np.linspace(0, 22050 / 2, 1025)
+        peak_bin = np.argmin(np.abs(fftfreqs - spacing_hz))
+        assert mel[0].argmax() == peak_bin
+        peak_val = mel[0].max()
+        # triangle peak height at the grid point nearest the true peak
+        want = (2.0 / (2 * spacing_hz)) * (
+            1 - abs(fftfreqs[peak_bin] - spacing_hz) / spacing_hz
+        )
+        np.testing.assert_allclose(peak_val, want, rtol=1e-6)
+
+    def test_num_frames(self):
+        # 1 s @ 22.05 kHz -> 44 frames (digit), 101 frames (speaker):
+        # the comment at extract_features_construct_dataset.py:17.
+        assert frontend_ref.num_frames(22050, 512) == 44
+        assert frontend_ref.num_frames(22050, 220) == 101
+
+
+class TestOracle:
+    def test_stft_matches_scipy(self, rng):
+        y = rng.standard_normal(5000)
+        ours = frontend_ref.stft_power_ref(y, 512, 128, 512)
+        f, t, z = scipy.signal.stft(
+            y,
+            nperseg=512,
+            noverlap=512 - 128,
+            window=scipy.signal.get_window("hann", 512, fftbins=True),
+            boundary="zeros",
+            padded=True,
+            return_onesided=True,
+        )
+        # scipy scales by win.sum(); undo and compare the overlapping frames
+        scale = scipy.signal.get_window("hann", 512, fftbins=True).sum()
+        theirs = np.abs(z * scale) ** 2
+        n = min(ours.shape[1], theirs.shape[1])
+        np.testing.assert_allclose(ours[:, :n], theirs[:, :n], atol=1e-6)
+
+    def test_power_to_db_top_db_floor(self):
+        s = np.array([[1.0, 1e-12]])
+        db = frontend_ref.power_to_db_ref(s)
+        assert db[0, 0] == 0.0
+        assert db[0, 1] == -80.0  # clipped at max - top_db
+
+    def test_fixed_length_pad_and_truncate(self, rng):
+        y = rng.standard_normal(22050).astype(np.float32)
+        m = frontend_ref.mfcc_fixed_length_ref(y, 44)
+        assert m.shape == (20, 44)
+        short = rng.standard_normal(11025).astype(np.float32)
+        m2 = frontend_ref.mfcc_fixed_length_ref(short, 44)
+        assert m2.shape == (20, 44)
+        n_true = frontend_ref.num_frames(11025, 512)
+        assert np.all(m2[:, n_true:] == 0)
+
+
+class TestXLAvsOracle:
+    @pytest.mark.parametrize("cfg", [DIGIT, SPEAKER], ids=["digit", "speaker"])
+    def test_batch_matches_oracle(self, cfg, rng):
+        b, n = 4, 22050
+        waves = (rng.standard_normal((b, n)) * 0.1).astype(np.float32)
+        got = np.asarray(mfcc_xla_batch(waves, cfg))
+        assert got.shape == (b, cfg.n_mfcc, cfg.utterance_length)
+        for i in range(b):
+            want = frontend_ref.mfcc_fixed_length_ref(
+                waves[i],
+                cfg.utterance_length,
+                sr=cfg.sr,
+                n_fft=cfg.n_fft,
+                hop_length=cfg.hop_length,
+                win_length=cfg.win_length,
+            )
+            np.testing.assert_allclose(got[i], want, atol=2e-3, rtol=1e-4)
+
+    def test_short_utterance_masking(self, rng):
+        cfg = DIGIT
+        true_len = 11025
+        waves = np.zeros((2, 22050), dtype=np.float32)
+        waves[:, :true_len] = rng.standard_normal((2, true_len)) * 0.1
+        lengths = np.array([true_len, 22050])
+        got = np.asarray(mfcc_xla_batch(waves, cfg, lengths=lengths))
+        want0 = frontend_ref.mfcc_fixed_length_ref(waves[0, :true_len], 44)
+        np.testing.assert_allclose(got[0], want0, atol=2e-3, rtol=1e-4)
+        n_true = frontend_ref.num_frames(true_len, 512)
+        assert np.all(got[0][:, n_true:] == 0)
+
+    def test_silent_input(self):
+        # all-zero audio: mel power == amin everywhere, db == -100, DCT of a
+        # constant vector — must not NaN.
+        waves = np.zeros((1, 22050), dtype=np.float32)
+        got = np.asarray(mfcc_xla_batch(waves, DIGIT))
+        assert np.isfinite(got).all()
+        want = frontend_ref.mfcc_fixed_length_ref(np.zeros(22050), 44)
+        np.testing.assert_allclose(got[0], want, atol=2e-3)
