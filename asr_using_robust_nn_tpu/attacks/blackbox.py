@@ -1,0 +1,116 @@
+"""Black-box noise attacks: white, Gaussian-mixture impulse, SNR-targeted.
+
+Reference: `Voice digit recogniton/attacks.py:73-294`. Same noise models,
+vectorized: the reference loops file-by-file re-running librosa per sweep
+point (SURVEY.md §3.5 "HOT: full frontend re-run per sweep point"); here a
+whole noisy batch goes through the fused TPU frontend in one call, and the
+noise draws themselves are jitted + vmapped.
+
+All functions take an explicit PRNG key (the reference used global
+np.random) — pass different keys per sweep point for independent draws.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.mfcc_xla import FrontendConfig
+
+__all__ = [
+    "add_white_noise",
+    "mixtgauss",
+    "add_noise",
+    "add_white_noise_with_snr",
+    "add_white_noise_on_dataset",
+    "add_noise_mixture_on_dataset",
+    "add_snr_noise_on_dataset",
+    "audio_noise_features",
+]
+
+
+def add_white_noise(x: jnp.ndarray, sigma: float, key) -> jnp.ndarray:
+    """x + N(0, sigma^2), elementwise (`attacks.py:73-86`)."""
+    return x + sigma * jax.random.normal(key, x.shape, x.dtype)
+
+
+def mixtgauss(shape, p: float, sigma0: float, sigma1: float, key) -> jnp.ndarray:
+    """Gaussian mixture noise (`attacks.py:145-162`): impulse locations are
+    where |N(0,1)| < p; sigma1 at impulses, sigma0 elsewhere, times an
+    independent N(0,1) draw."""
+    k1, k2 = jax.random.split(key)
+    q = jax.random.normal(k1, shape)
+    u = (jnp.abs(q) < p).astype(jnp.float32)
+    return (sigma0 * (1.0 - u) + sigma1 * u) * jax.random.normal(k2, shape)
+
+
+def add_noise(x: jnp.ndarray, p: float, alpha: float, key) -> jnp.ndarray:
+    """Mixture noise with sigma0=alpha, sigma1=10*alpha (`attacks.py:165-183`)."""
+    return x + mixtgauss(x.shape, p, alpha, 10.0 * alpha, key)
+
+
+def add_white_noise_with_snr(audio: jnp.ndarray, target_snr_db: float, key) -> jnp.ndarray:
+    """White noise at a target SNR (dB) relative to mean signal power, k=1
+    (no signal renormalization) (`attacks.py:222-245`). Works on (..., N)."""
+    power = jnp.mean(audio**2, axis=-1, keepdims=True)
+    signal_db = 10.0 * jnp.log10(power)
+    noise_watts = 10.0 ** ((signal_db - target_snr_db) / 10.0)
+    noise = jnp.sqrt(noise_watts) * jax.random.normal(key, audio.shape, audio.dtype)
+    return audio + noise
+
+
+@functools.partial(jax.jit, static_argnames=("sigma",))
+def add_white_noise_on_dataset(dataset: jnp.ndarray, sigma: float, key) -> jnp.ndarray:
+    """White noise directly on MFCC features (`attacks.py:186-201`),
+    whole dataset in one fused op."""
+    return add_white_noise(jnp.asarray(dataset, jnp.float32), sigma, key)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "alpha"))
+def add_noise_mixture_on_dataset(dataset, p: float, alpha: float, key):
+    """Mixture noise on MFCC features (`attacks.py:204-219`)."""
+    return add_noise(jnp.asarray(dataset, jnp.float32), p, alpha, key)
+
+
+@functools.partial(jax.jit, static_argnames=("target_snr_db",))
+def add_snr_noise_on_dataset(waves, target_snr_db: float, key):
+    keys = jax.random.split(key, waves.shape[0])
+    return jax.vmap(lambda w, k: add_white_noise_with_snr(w, target_snr_db, k))(
+        jnp.asarray(waves, jnp.float32), keys
+    )
+
+
+def audio_noise_features(
+    waves: np.ndarray,
+    cfg: FrontendConfig,
+    key,
+    sigma: float = 0.0,
+    p: float = 0.0,
+    alpha: float = 0.0,
+    snr_db: float | None = None,
+    lengths=None,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Audio-domain attack pipeline: add noise to raw waveforms, re-run the
+    MFCC frontend, return flattened features — the batched equivalent of
+    `black_box_attack_on_audio_dataset` (`attacks.py:124-142`) and its SNR
+    variant (`:277-294`). Noise selection mirrors the reference: sigma wins,
+    else (p, alpha) mixture, else SNR if given, else clean.
+    """
+    from ..frontend.mfcc import Frontend
+
+    waves = jnp.asarray(waves, jnp.float32)
+    if sigma != 0.0:
+        noisy = add_white_noise(waves, sigma, key)
+    elif p != 0.0 and alpha != 0.0:
+        keys = jax.random.split(key, waves.shape[0])
+        noisy = jax.vmap(lambda w, k: add_noise(w, p, alpha, k))(waves, keys)
+    elif snr_db is not None:
+        noisy = add_snr_noise_on_dataset(waves, snr_db, key)
+    else:
+        noisy = waves
+    fe = Frontend(cfg, backend=backend)
+    return np.asarray(fe.flat(noisy, lengths=lengths))

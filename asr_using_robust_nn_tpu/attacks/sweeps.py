@@ -1,0 +1,210 @@
+"""Robustness sweep runner: accuracy-vs-strength curves for model pairs.
+
+Non-interactive replacement for the reference's `input()`-driven attack CLI
+(`Voice digit recogniton/attacks.py:297-693`, decision tree documented at
+`:2-12`). Each sweep evaluates the constrained and unconstrained models on
+the same perturbed test set per strength point and returns the two accuracy
+curves — the thesis's comparison artifact (`:359-366`).
+
+Default grids are the reference's (SURVEY.md §2.2):
+  audio sigmas   [0, 0.002, ..., 0.1]            (`:335`)
+  mfcc sigmas    linspace(0, 100, 20)            (`:320`)
+  mixture alphas linspace(0, 0.015, 15) audio / linspace(0, 100, 30) mfcc
+  SNRs           [60, 30, 20, 15, 10, 5, 0] dB   (`:319`)
+  fgsm eps       linspace(0.01, 0.3, 10) raw, linspace(1, 30, 50) std
+  pgd eps        linspace(1, 30, 50)             (`:648`)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import numpy as np
+
+from ..ops.mfcc_xla import FrontendConfig
+from . import blackbox, whitebox
+
+__all__ = ["SweepResult", "GRIDS", "blackbox_sweep", "whitebox_sweep", "accuracy"]
+
+GRIDS = {
+    "audio_sigmas": [0, 0.002, 0.004, 0.01, 0.015, 0.02, 0.03, 0.04, 0.05, 0.075, 0.1],
+    "mfcc_sigmas": np.linspace(0, 100, 20),
+    "audio_alphas": np.linspace(0, 0.015, 15),
+    "mfcc_alphas": np.linspace(0, 100, 30),
+    "snrs_db": [60, 30, 20, 15, 10, 5, 0],
+    "fgsm_eps_raw": np.linspace(0.01, 0.3, 10),
+    "fgsm_eps_std": np.linspace(1, 30, 50),
+    "pgd_eps": np.linspace(1, 30, 50),
+    "jsma_theta": [10.0],
+    "cw_l2_confidence": np.linspace(1, 300, 3),
+    "cw_linf_confidence": [10.0],
+}
+
+
+@dataclasses.dataclass
+class SweepResult:
+    attack: str
+    strengths: np.ndarray
+    accuracy_constrained: np.ndarray
+    accuracy_unconstrained: np.ndarray
+
+    def as_dict(self):
+        return {
+            "attack": self.attack,
+            "strengths": np.asarray(self.strengths).tolist(),
+            "accuracy_constrained": self.accuracy_constrained.tolist(),
+            "accuracy_unconstrained": self.accuracy_unconstrained.tolist(),
+        }
+
+    def plot(self, ax=None, title=None):
+        """The reference's comparison plot (`attacks.py:359-366`)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots()
+        ax.plot(self.strengths, self.accuracy_constrained, color="r",
+                label="Constrained Model")
+        ax.plot(self.strengths, self.accuracy_unconstrained, color="b",
+                label="Unconstrained model")
+        ax.legend()
+        ax.set_title(title or f"Accuracy vs {self.attack}")
+        ax.set_xlabel("Strength")
+        ax.set_ylabel("Accuracy")
+        return ax
+
+
+def accuracy(probs: np.ndarray, labels: np.ndarray) -> float:
+    """argmax-match accuracy (`attacks.py:347-357`)."""
+    return float(np.mean(np.argmax(probs, axis=1) == np.asarray(labels)))
+
+
+def blackbox_sweep(
+    attack: str,
+    predict_constrained: Callable,
+    predict_unconstrained: Callable,
+    labels: np.ndarray,
+    strengths=None,
+    test_features: np.ndarray | None = None,
+    test_waves: np.ndarray | None = None,
+    lengths=None,
+    frontend_cfg: FrontendConfig | None = None,
+    standardize: Callable | None = None,
+    seed: int = 0,
+    mixture_p: float = 0.01,
+    backend: str = "auto",
+) -> SweepResult:
+    """Run one black-box family sweep.
+
+    attack: 'white_mfcc' | 'mixture_mfcc' | 'white_audio' | 'mixture_audio'
+            | 'snr_audio'  (the reference's s/m/snr x mfcc/audio matrix).
+    `standardize` receives perturbed features and applies the reference's
+    fit-on-all scaler when the pipeline standardizes after the attack
+    (`attacks.py:342,437-438`). Audio variants need test_waves + frontend_cfg.
+    """
+    key = jax.random.PRNGKey(seed)
+    if strengths is None:
+        strengths = {
+            "white_mfcc": GRIDS["mfcc_sigmas"],
+            "mixture_mfcc": GRIDS["mfcc_alphas"],
+            "white_audio": GRIDS["audio_sigmas"],
+            "mixture_audio": GRIDS["audio_alphas"],
+            "snr_audio": GRIDS["snrs_db"],
+        }[attack]
+    acc_c, acc_u = [], []
+    for i, s in enumerate(np.asarray(strengths)):
+        k = jax.random.fold_in(key, i)
+        if attack == "white_mfcc":
+            feats = np.asarray(
+                blackbox.add_white_noise_on_dataset(test_features, float(s), k)
+            )
+        elif attack == "mixture_mfcc":
+            feats = np.asarray(
+                blackbox.add_noise_mixture_on_dataset(
+                    test_features, mixture_p, float(s), k
+                )
+            )
+        elif attack == "white_audio":
+            feats = blackbox.audio_noise_features(
+                test_waves, frontend_cfg, k, sigma=float(s), lengths=lengths,
+                backend=backend,
+            )
+        elif attack == "mixture_audio":
+            feats = blackbox.audio_noise_features(
+                test_waves, frontend_cfg, k, p=mixture_p, alpha=float(s),
+                lengths=lengths, backend=backend,
+            )
+        elif attack == "snr_audio":
+            feats = blackbox.audio_noise_features(
+                test_waves, frontend_cfg, k, snr_db=float(s), lengths=lengths,
+                backend=backend,
+            )
+        else:
+            raise ValueError(f"unknown blackbox attack {attack!r}")
+        if standardize is not None:
+            feats = standardize(feats)
+        acc_c.append(accuracy(predict_constrained(feats), labels))
+        acc_u.append(accuracy(predict_unconstrained(feats), labels))
+    return SweepResult(attack, np.asarray(strengths), np.asarray(acc_c),
+                       np.asarray(acc_u))
+
+
+def whitebox_sweep(
+    attack: str,
+    logits_constrained: Callable,
+    logits_unconstrained: Callable,
+    predict_constrained: Callable,
+    predict_unconstrained: Callable,
+    test_features: np.ndarray,
+    labels: np.ndarray,
+    strengths=None,
+    standardize: Callable | None = None,
+    max_samples: int | None = None,
+    seed: int = 0,
+) -> SweepResult:
+    """Run one white-box sweep. attack: 'fgsm'|'pgd'|'jsma'|'cw_l2'|'cw_linf'.
+
+    Adversarial examples are generated against each model separately (the
+    reference attacks each wrapped classifier with its own gradients,
+    `attacks.py:506-510`). JSMA evaluates on the first 100 samples like the
+    reference (`:549-550`) unless max_samples overrides.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(test_features, jnp.float32)
+    y = jnp.asarray(labels, jnp.int32)
+    if attack == "jsma" and max_samples is None:
+        max_samples = 100
+    if max_samples is not None:
+        x, y = x[:max_samples], y[:max_samples]
+    if strengths is None:
+        strengths = {
+            "fgsm": GRIDS["fgsm_eps_raw"],
+            "pgd": GRIDS["pgd_eps"],
+            "jsma": GRIDS["jsma_theta"],
+            "cw_l2": GRIDS["cw_l2_confidence"],
+            "cw_linf": GRIDS["cw_linf_confidence"],
+        }[attack]
+    gen = {
+        "fgsm": lambda lf, s, k: whitebox.fgsm(lf, x, y, float(s)),
+        "pgd": lambda lf, s, k: whitebox.pgd(lf, x, y, float(s)),
+        "jsma": lambda lf, s, k: whitebox.jsma(lf, x, theta=float(s), key=k),
+        "cw_l2": lambda lf, s, k: whitebox.carlini_l2(lf, x, y, confidence=float(s)),
+        "cw_linf": lambda lf, s, k: whitebox.carlini_linf(
+            lf, x, y, confidence=float(s)
+        ),
+    }[attack]
+    key = jax.random.PRNGKey(seed)
+    acc_c, acc_u = [], []
+    ynp = np.asarray(y)
+    for i, s in enumerate(np.asarray(strengths)):
+        k = jax.random.fold_in(key, i)
+        adv_c = np.asarray(gen(logits_constrained, s, k))
+        adv_u = np.asarray(gen(logits_unconstrained, s, k))
+        if standardize is not None:
+            adv_c, adv_u = standardize(adv_c), standardize(adv_u)
+        acc_c.append(accuracy(predict_constrained(adv_c), ynp))
+        acc_u.append(accuracy(predict_unconstrained(adv_u), ynp))
+    return SweepResult(attack, np.asarray(strengths), np.asarray(acc_c),
+                       np.asarray(acc_u))

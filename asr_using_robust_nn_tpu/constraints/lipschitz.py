@@ -1,0 +1,72 @@
+"""Lipschitz analyzers + per-epoch monitor.
+
+Reference: `get_norms` / `get_upper_lipschitz` / `get_lipschitz_constrained`
+(`Voice digit recogniton/extract_features_construct_dataset.py:154-196`) and
+the `lip_stats_callback` epoch monitor (`Voice digit recogniton/
+train_constraints.py:52-60`). All jittable; norms via exact SVD here (these
+run once per epoch, not per batch, so exactness beats speed).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.mlp import MLPConfig, dense_kernels
+
+__all__ = [
+    "get_norms",
+    "get_upper_lipschitz",
+    "get_lipschitz_constrained",
+    "lipschitz_monitor",
+]
+
+
+def get_norms(params) -> jnp.ndarray:
+    """Spectral norm of each Dense kernel (`:154-161`)."""
+    return jnp.stack(
+        [jnp.linalg.norm(w, ord=2) for w in dense_kernels(params)]
+    )
+
+
+def get_upper_lipschitz(norms) -> jnp.ndarray:
+    """Naive upper bound: product of per-layer norms (`:165-166`)."""
+    return jnp.prod(jnp.asarray(norms))
+
+
+def get_lipschitz_constrained(cfg: MLPConfig, params, state) -> jnp.ndarray:
+    """||W_m^T ... W_1^T||_2 divided by the BatchNorm correction factor
+    prod_i max(sqrt(var_i)/gamma_i) (`:169-196`).
+
+    The BN factor uses the *moving* variance, matching the reference reading
+    Keras layer weights index 3 (`:181-186`).
+    """
+    ws = dense_kernels(params)
+    cst = None
+    for w in reversed(ws):
+        t = jnp.asarray(w).T
+        cst = t if cst is None else cst @ t
+    sigma = jnp.linalg.norm(cst, ord=2)
+    correction = jnp.asarray(1.0, dtype=sigma.dtype)
+    if cfg.batch_norm:
+        for p, s in zip(params["layers"], state["layers"]):
+            if "gamma" in p:
+                correction = correction * jnp.max(
+                    jnp.sqrt(s["var"]) / p["gamma"]
+                )
+    return sigma / correction
+
+
+def lipschitz_monitor(cfg: MLPConfig, print_fn=print):
+    """Epoch callback for Trainer(epoch_callbacks=...): prints per-layer
+    norms and the end-to-end constant, like lip_stats_callback
+    (`train_constraints.py:52-60`)."""
+
+    def cb(epoch, params, state, history):
+        norms = np.asarray(get_norms(params))
+        for i, n in enumerate(norms):
+            print_fn(f"The norm for layer dense_{i} is : {n}")
+        lip = float(get_lipschitz_constrained(cfg, params, state))
+        print_fn(f"The Lipschitz constant on epoch {epoch} is {lip}")
+
+    return cb

@@ -1,0 +1,54 @@
+"""Corpus walking and labeling for both reference layouts.
+
+Digit task: `data/<word>/*.wav`, 10 digit words, label = word index in the
+canonical list (`Voice digit recogniton/extract_features_construct_dataset.py:118-140`).
+Speaker task: `dataset/rodigits/<speaker>/*.wav`, label = sorted folder index
+(`Speaker recognition/extract_features_construct_dataset.py:114-137`).
+
+Fixes over the reference (documented in SURVEY.md §2.3): portable path
+separators instead of hard-coded '\\\\'; labels derived from the *same* glob
+that produced the filenames (the reference counted os.listdir separately and
+assumed equal order/count).
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+import numpy as np
+
+DIGIT_WORDS = [
+    "zero", "one", "two", "three", "four",
+    "five", "six", "seven", "eight", "nine",
+]
+
+__all__ = ["DIGIT_WORDS", "walk_corpus"]
+
+
+def walk_corpus(
+    data_dir, class_names: list[str] | None = None, extensions=(".wav",)
+) -> tuple[list[str], np.ndarray, list[str]]:
+    """Enumerate `<data_dir>/<class>/<file>` -> (filenames, int labels, classes).
+
+    `class_names=None` uses every subfolder in sorted order (speaker layout);
+    pass `DIGIT_WORDS` for the digit layout, where only the ten digit folders
+    participate and label = index in that list.
+    """
+    data_dir = str(data_dir)
+    if class_names is None:
+        class_names = sorted(
+            d for d in os.listdir(data_dir)
+            if os.path.isdir(os.path.join(data_dir, d))
+        )
+    else:
+        present = set(os.listdir(data_dir))
+        class_names = [c for c in class_names if c in present]
+    filenames: list[str] = []
+    labels: list[int] = []
+    for i, cls in enumerate(class_names):
+        files = sorted(glob(os.path.join(data_dir, cls, "*")))
+        files = [f for f in files if f.lower().endswith(tuple(extensions))]
+        filenames.extend(files)
+        labels.extend([i] * len(files))
+    return filenames, np.asarray(labels, dtype=np.int64), list(class_names)

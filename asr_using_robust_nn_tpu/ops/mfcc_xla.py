@@ -88,28 +88,24 @@ class FrontendConfig:
 def frame_signal(ypad: jnp.ndarray, n_frames: int, n_fft: int, hop: int) -> jnp.ndarray:
     """Frame a (B, Lpad) center-padded batch into (B, n_frames, n_fft).
 
-    When hop divides n_fft the framing is pure reshape+slice+concat (zero
-    gather traffic); otherwise a static gather is used. Both are traced with
-    static shapes so XLA can lay the result out for the MXU.
+    Pure reshape+slice+concat for ANY (n_fft, hop): view the signal as
+    hop-sized blocks; frame t is blocks[t..t+k-1] with the last piece cut to
+    width n_fft - (k-1)*hop. Zero gather traffic; all shapes static, so XLA
+    lays the frames out directly for the MXU. (Replaces the reference's
+    per-file Python framing inside librosa, SURVEY.md §3.1 HOT LOOP #1.)
     """
-    if n_fft % hop == 0:
-        k = n_fft // hop
-        n_blocks = ypad.shape[-1] // hop
-        need = n_frames + k - 1
-        if n_blocks < need:
-            ypad = jnp.pad(ypad, ((0, 0), (0, (need - n_blocks) * hop)))
-            n_blocks = need
-        blocks = ypad[:, : n_blocks * hop].reshape(ypad.shape[0], n_blocks, hop)
-        return jnp.concatenate(
-            [blocks[:, j : j + n_frames, :] for j in range(k)], axis=-1
-        )
-    idx = (
-        np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    )  # static (T, n_fft)
-    pad_needed = int(idx.max()) + 1 - ypad.shape[-1]
-    if pad_needed > 0:
-        ypad = jnp.pad(ypad, ((0, 0), (0, pad_needed)))
-    return ypad[:, idx]
+    b = ypad.shape[0]
+    k = -(-n_fft // hop)  # ceil: blocks touched by one frame
+    need_blocks = n_frames + k - 1
+    need_len = need_blocks * hop
+    if ypad.shape[-1] < need_len:
+        ypad = jnp.pad(ypad, ((0, 0), (0, need_len - ypad.shape[-1])))
+    blocks = ypad[:, :need_len].reshape(b, need_blocks, hop)
+    pieces = []
+    for j in range(k):
+        width = min(hop, n_fft - j * hop)
+        pieces.append(blocks[:, j : j + n_frames, :width])
+    return jnp.concatenate(pieces, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -1,0 +1,192 @@
+"""Pallas TPU kernel for the MFCC frontend's hot stage.
+
+The FLOPs of the frontend live in the windowed-rDFT matmuls
+(frames @ Cr / frames @ Ci, n_fft x n_freq each) and the mel projection.
+This kernel fuses rDFT -> |.|^2 -> mel into one VMEM-resident pass over
+row-tiles of the framed signal, so the (B*T, 1+n_fft//2) power spectrogram
+never materializes in HBM (the pure-XLA path writes/reads it once):
+
+  grid = (row_tiles, freq_tiles)              # freq innermost
+  per program:  F_i (ROW_TILE, n_fft)         # frames, from HBM
+                P_ij = (F_i @ Cr_j)^2 + (F_i @ Ci_j)^2      # MXU
+                out_i += P_ij @ MelT_j                      # MXU, VMEM accum
+
+Framing itself (slice+concat, pure data movement) and the tiny db+DCT finish
+(which needs a per-utterance global max, see ops/frontend_ref.py) run in XLA
+around the kernel. Mosaic note: framing cannot live inside the kernel —
+reshaping a (B, L) waveform block to hop-sized blocks is an unsupported
+vector shape-cast for non-128-aligned hops (verified on v5e).
+
+Reference semantics reproduced: librosa.feature.mfcc as called at
+`Voice digit recogniton/extract_features_construct_dataset.py:30` (digit) and
+`Speaker recognition/extract_features_construct_dataset.py:227-228` (speaker).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mfcc_xla import FrontendConfig, frame_signal
+
+__all__ = ["mel_power_pallas", "mfcc_pallas_batch"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dft_power_mel_kernel(frames_ref, cr_ref, ci_ref, melt_ref, out_ref, *, precision):
+    j = pl.program_id(1)
+    prec = jax.lax.Precision(precision)
+    f = frames_ref[:]
+    re = jnp.dot(f, cr_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    im = jnp.dot(f, ci_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    power = re * re + im * im
+    mel = jnp.dot(power, melt_ref[:], preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = mel
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + mel
+
+
+def _default_tiles(cfg: FrontendConfig) -> tuple[int, int]:
+    """(row_tile, k_tile) sized to fit VMEM at precision='highest' (whose
+    3x-bf16 operand splits roughly triple live VMEM; 16 MB/core budget).
+    Digit (n_fft=2048): (128, 128) — (256, 128) overflows by ~108K with
+    double-buffered blocks. Speaker (n_fft=441): (256, 256)."""
+    if cfg.n_fft >= 1024:
+        return 128, 128
+    return 256, 256
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "row_tile", "k_tile", "interpret")
+)
+def mel_power_pallas(
+    waves: jnp.ndarray,
+    cfg: FrontendConfig,
+    row_tile: int | None = None,
+    k_tile: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused rDFT+power+mel: (B, L) raw waves -> (B, T, n_mels) mel power.
+
+    Applies the librosa center pad (n_fft//2 zeros each side, 'constant'),
+    frames in XLA, then runs the fused Pallas GEMM chain.
+    """
+    dr, dk = _default_tiles(cfg)
+    row_tile = row_tile or dr
+    k_tile = k_tile or dk
+    b, n_samples = waves.shape
+    n_frames = cfg.num_frames(n_samples)
+
+    cr, ci, mel_t, _ = cfg.constants(np.float32)
+    n_fft_pad = _round_up(cfg.n_fft, 8)
+    n_freq_pad = _round_up(cfg.n_freq, k_tile)
+    n_mels = cfg.n_mels
+
+    # Zero-pad constants: extra DFT rows meet zero frame columns; extra freq
+    # columns hit zero mel rows — results are exact.
+    cr_p = np.zeros((n_fft_pad, n_freq_pad), np.float32)
+    ci_p = np.zeros((n_fft_pad, n_freq_pad), np.float32)
+    mel_tp = np.zeros((n_freq_pad, n_mels), np.float32)
+    cr_p[: cfg.n_fft, : cfg.n_freq] = cr
+    ci_p[: cfg.n_fft, : cfg.n_freq] = ci
+    mel_tp[: cfg.n_freq] = mel_t
+
+    pad = cfg.n_fft // 2
+    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)))
+    frames = frame_signal(ypad, n_frames, cfg.n_fft, cfg.hop_length)
+    rows = b * n_frames
+    rows_pad = _round_up(rows, row_tile)
+    f2d = frames.reshape(rows, cfg.n_fft)
+    f2d = jnp.pad(f2d, ((0, rows_pad - rows), (0, n_fft_pad - cfg.n_fft)))
+
+    grid = (rows_pad // row_tile, n_freq_pad // k_tile)
+    kernel = functools.partial(_dft_power_mel_kernel, precision=cfg.precision.lower())
+    mel = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (row_tile, n_fft_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_fft_pad, k_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_fft_pad, k_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k_tile, n_mels), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (row_tile, n_mels), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, n_mels), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * n_fft_pad * n_freq_pad * 2
+            + 2 * rows_pad * n_freq_pad * n_mels,
+            bytes_accessed=(rows_pad * n_fft_pad + rows_pad * n_mels) * 4
+            + (2 * n_fft_pad * n_freq_pad + n_freq_pad * n_mels) * 4 * grid[0],
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(f2d, cr_p, ci_p, mel_tp)
+    return mel[:rows].reshape(b, n_frames, n_mels)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "row_tile", "k_tile", "interpret")
+)
+def mfcc_pallas_batch(
+    waves: jnp.ndarray,
+    cfg: FrontendConfig,
+    lengths: jnp.ndarray | None = None,
+    row_tile: int | None = None,
+    k_tile: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full MFCC via the Pallas mel-power kernel + XLA db/DCT finish.
+
+    Same contract as ops.mfcc_xla.mfcc_xla_batch: (B, L) -> (B, n_mfcc,
+    utterance_length), with per-utterance length masking.
+    """
+    b, n_samples = waves.shape
+    n_frames = cfg.num_frames(n_samples)
+    mel = mel_power_pallas(
+        waves, cfg, row_tile=row_tile, k_tile=k_tile, interpret=interpret
+    )
+
+    log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
+    if lengths is None:
+        valid = jnp.ones((b, n_frames), dtype=bool)
+    else:
+        frame_ids = jnp.arange(n_frames)[None, :]
+        valid = frame_ids < (1 + lengths[:, None] // cfg.hop_length)
+    masked = jnp.where(valid[..., None], log_spec, -jnp.inf)
+    utt_max = jnp.max(masked, axis=(1, 2), keepdims=True)
+    db = jnp.maximum(log_spec, utt_max - cfg.top_db)
+
+    _, _, _, dct_t = cfg.constants(np.float32)
+    prec = jax.lax.Precision(cfg.precision.lower())
+    mfcc = jnp.einsum("btm,mc->btc", db, jnp.asarray(dct_t), precision=prec)
+    mfcc = jnp.where(valid[..., None], mfcc, 0.0)
+
+    t_out = cfg.utterance_length
+    if n_frames >= t_out:
+        mfcc = mfcc[:, :t_out, :]
+    else:
+        mfcc = jnp.pad(mfcc, ((0, 0), (0, t_out - n_frames), (0, 0)))
+    return jnp.swapaxes(mfcc, 1, 2)

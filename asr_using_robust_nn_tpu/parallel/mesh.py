@@ -1,0 +1,50 @@
+"""Mesh construction and sharding helpers.
+
+The reference is single-process Keras with no parallelism of any kind
+(SURVEY.md §2.4). The TPU-native scaling surface for this workload is batch
+data parallelism over a 1-D mesh: params replicated, batches split on the
+'data' axis, gradients/metrics reduced by XLA collectives over ICI (psum
+inserted by GSPMD), multi-host via jax.distributed left to the runner.
+Model sizes (~1.65-2.8 M params) make TP/PP unnecessary; sequence length is
+clamped at the frontend (44/101 frames), so long audio becomes more batch
+rows — which this axis shards (SURVEY.md §5 long-context note).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["data_mesh", "replicated", "sharded_batch", "DATA_AXIS"]
+
+DATA_AXIS = "data"
+
+
+def data_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the first n_devices (default: all)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def sharded_batch(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def pad_to_multiple(x: np.ndarray, m: int, axis: int = 0):
+    """Pad a host batch so its leading dim divides the mesh size; returns
+    (padded, true_n). Padding rows are zeros; callers mask metrics."""
+    n = x.shape[axis]
+    rem = (-n) % m
+    if rem == 0:
+        return x, n
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (0, rem)
+    return np.pad(x, pad_width), n

@@ -1,0 +1,135 @@
+"""Checkpointing: Orbax for native pytrees + HDF5 interop with Keras.
+
+TPU-native replacement for the reference's `ModelCheckpoint(save_best_only=
+True)` `.h5` flow (`Voice digit recogniton/train_google_dataset.py:85,87`):
+Orbax stores {params, state, opt_state} with best-val retention and resume;
+the h5 helpers cross-load Keras-trained reference checkpoints (Dense kernels,
+biases, BatchNorm gamma/beta/moving stats) into our pytrees and export ours
+into the same weight layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+__all__ = ["CheckpointManager", "export_h5", "import_keras_h5"]
+
+
+class CheckpointManager:
+    """Minimal best/latest checkpoint store on Orbax StandardCheckpointer."""
+
+    def __init__(self, directory):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(str(directory))
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _meta_path(self):
+        return os.path.join(self.directory, "meta.json")
+
+    def save_best(self, params, state, opt_state, epoch: int, val_loss: float):
+        path = os.path.join(self.directory, "best")
+        tree = {
+            "params": jax.tree.map(np.asarray, params),
+            "state": jax.tree.map(np.asarray, state),
+            "opt_state": jax.tree.map(np.asarray, opt_state),
+        }
+        self._ckptr.save(path, tree, force=True)
+        self._ckptr.wait_until_finished()  # StandardCheckpointer is async
+        with open(self._meta_path(), "w") as f:
+            json.dump({"epoch": epoch, "val_loss": float(val_loss)}, f)
+
+    def load_best(self, example_tree=None):
+        path = os.path.join(self.directory, "best")
+        tree = self._ckptr.restore(path, example_tree)
+        meta = {}
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+        return tree, meta
+
+
+def export_h5(path, params: dict, state: dict | None = None) -> None:
+    """Write weights in a Keras-style h5 layout: one group per layer with
+    kernel/bias (Dense) and gamma/beta/moving_mean/moving_variance (BN)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        for i, layer in enumerate(params["layers"]):
+            name = f"dense_{i}" if i else "dense"
+            g = mw.create_group(name).create_group(name)
+            g.create_dataset("kernel:0", data=np.asarray(layer["w"]))
+            g.create_dataset("bias:0", data=np.asarray(layer["b"]))
+            if "gamma" in layer:
+                bname = f"batch_normalization_{i}" if i else "batch_normalization"
+                bg = mw.create_group(bname).create_group(bname)
+                bg.create_dataset("gamma:0", data=np.asarray(layer["gamma"]))
+                bg.create_dataset("beta:0", data=np.asarray(layer["beta"]))
+                s = (state or {"layers": [{}] * len(params["layers"])})["layers"][i]
+                bg.create_dataset(
+                    "moving_mean:0",
+                    data=np.asarray(s.get("mean", np.zeros_like(layer["beta"]))),
+                )
+                bg.create_dataset(
+                    "moving_variance:0",
+                    data=np.asarray(s.get("var", np.ones_like(layer["gamma"]))),
+                )
+
+
+def import_keras_h5(path, cfg) -> tuple[dict, dict]:
+    """Load a Keras-saved (or export_h5-saved) weights file into our pytree.
+
+    Walks `model_weights`, collecting Dense layers (kernel/bias) in creation
+    order and BatchNormalization layers likewise — the order Keras assigns
+    default names (dense, dense_1, ...) in the reference's sequential-style
+    builders (`Voice digit recogniton/train_google_dataset.py:49-74`).
+    """
+    import h5py
+
+    from ..models.mlp import init_mlp
+
+    def _order_key(name: str):
+        parts = name.rsplit("_", 1)
+        if len(parts) == 2 and parts[1].isdigit():
+            return int(parts[1])
+        return 0
+
+    with h5py.File(path, "r") as f:
+        mw = f["model_weights"] if "model_weights" in f else f
+        dense, bn = {}, {}
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                parts = name.split("/")
+                lname = parts[0]
+                dname = parts[-1].split(":")[0]
+                if lname.startswith("dense"):
+                    dense.setdefault(lname, {})[dname] = np.array(obj)
+                elif lname.startswith("batch_normalization"):
+                    bn.setdefault(lname, {})[dname] = np.array(obj)
+        mw.visititems(visit)
+
+    dense_names = sorted(dense, key=_order_key)
+    bn_names = sorted(bn, key=_order_key)
+    params, state = init_mlp(cfg, jax.random.PRNGKey(0))
+    assert len(dense_names) == len(params["layers"]), (
+        f"checkpoint has {len(dense_names)} dense layers, model expects "
+        f"{len(params['layers'])}"
+    )
+    for i, name in enumerate(dense_names):
+        params["layers"][i]["w"] = dense[name]["kernel"].astype(np.float32)
+        params["layers"][i]["b"] = dense[name]["bias"].astype(np.float32)
+    for i, name in enumerate(bn_names):
+        if "gamma" in params["layers"][i]:
+            params["layers"][i]["gamma"] = bn[name]["gamma"].astype(np.float32)
+            params["layers"][i]["beta"] = bn[name]["beta"].astype(np.float32)
+            state["layers"][i]["mean"] = bn[name]["moving_mean"].astype(np.float32)
+            state["layers"][i]["var"] = bn[name]["moving_variance"].astype(
+                np.float32
+            )
+    return params, state

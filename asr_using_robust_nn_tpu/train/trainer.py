@@ -1,0 +1,249 @@
+"""Jit-compiled training loop for the MLP model family.
+
+TPU-native rework of the reference's Keras `model.fit` stack
+(`Voice digit recogniton/train_google_dataset.py:77-99`): one fused train
+step — forward + CCE + backward + Adam + NonNeg clamp + Lipschitz projection
+— compiled as a single XLA program, so the constraint engine's per-batch
+weight work happens on device instead of the reference's host SVD round-trip
+(`Voice digit recogniton/Constraints.py:27-33`, SURVEY.md §3.3).
+
+Keras-parity knobs: Adam(lr=1e-3, eps=1e-7) ('adam' defaults), categorical
+cross-entropy (computed from logits for stability), EarlyStopping on val_loss,
+best-val checkpoint retention (`train_google_dataset.py:82-85`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.mlp import MLPConfig, apply_mlp, init_mlp
+
+__all__ = ["TrainConfig", "Trainer", "adam_optimizer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 256  # 256/512/64 per reference script (SURVEY.md §2 row 6)
+    epochs: int = 10000
+    patience: int = 200  # EarlyStopping(monitor='val_loss') patience
+    learning_rate: float = 1e-3
+    seed: int = 0
+    shuffle: bool = True
+    reshuffle_each_epoch: bool = False  # tf.data reshuffle_each_iteration=False
+    log_every: int = 0  # epochs between metric prints; 0 = silent
+
+
+def adam_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
+    """Keras 'adam' defaults: b1=0.9, b2=0.999, eps=1e-7 (optax default is
+    1e-8 — the 1e-7 here matches tf.keras.optimizers.Adam)."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-7)
+
+
+def cce_from_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean categorical cross-entropy; labels are int classes."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def _nonneg_clamp(params: dict) -> dict:
+    """Keras NonNeg kernel constraint: w *= (w >= 0), applied after each
+    optimizer update (`train_constraints.py:67-85`)."""
+    layers = [
+        dict(p, w=p["w"] * (p["w"] >= 0.0)) for p in params["layers"]
+    ]
+    return dict(params, layers=layers)
+
+
+class Trainer:
+    """Orchestrates jitted train/eval steps with early stopping + best-params
+    retention. `constraint` is an optional in-step projection
+    `(params, cstate) -> (params, cstate)` from constraints/engine.py,
+    applied after the Adam update + NonNeg clamp, exactly where the
+    reference's on_batch_end callbacks ran (SURVEY.md §3.3).
+    """
+
+    def __init__(
+        self,
+        model_cfg: MLPConfig,
+        train_cfg: TrainConfig | None = None,
+        constraint: Callable | None = None,
+        constraint_state=None,
+        epoch_callbacks: tuple[Callable, ...] = (),
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg or TrainConfig()
+        self.constraint = constraint
+        self.constraint_state = constraint_state
+        self.epoch_callbacks = tuple(epoch_callbacks)
+        self.optimizer = adam_optimizer(self.cfg.learning_rate)
+        self._build_steps()
+
+    def _build_steps(self):
+        model_cfg = self.model_cfg
+        optimizer = self.optimizer
+        constraint = self.constraint
+
+        def loss_fn(params, state, x, y, rng):
+            logits, new_state = apply_mlp(
+                model_cfg, params, state, x, train=True, rng=rng
+            )
+            loss = cce_from_logits(logits, y)
+            acc = jnp.mean(jnp.argmax(logits, -1) == y)
+            return loss, (new_state, acc)
+
+        def train_step(params, state, opt_state, cstate, x, y, rng):
+            (loss, (state, acc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, state, x, y, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if model_cfg.nonneg:
+                params = _nonneg_clamp(params)
+            if constraint is not None:
+                params, cstate = constraint(params, cstate)
+            return params, state, opt_state, cstate, loss, acc
+
+        def eval_step(params, state, x, y):
+            logits, _ = apply_mlp(model_cfg, params, state, x, train=False)
+            return cce_from_logits(logits, y), jnp.mean(
+                jnp.argmax(logits, -1) == y
+            ), jnp.argmax(logits, -1)
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+        self.eval_step = jax.jit(eval_step)
+
+    def _batches(self, n, rng):
+        idx = np.arange(n)
+        if self.cfg.shuffle:
+            rng.shuffle(idx)
+        bs = self.cfg.batch_size
+        return [idx[i : i + bs] for i in range(0, n, bs)]
+
+    def evaluate(self, params, state, x, y, batch_size: int | None = None):
+        """-> (loss, accuracy) over a dataset, batched like model.evaluate."""
+        bs = batch_size or self.cfg.batch_size
+        x = np.asarray(x, dtype=np.float32)
+        y = np.asarray(y, dtype=np.int32)
+        losses, accs, ns = [], [], []
+        for i in range(0, len(x), bs):
+            l, a, _ = self.eval_step(params, state, x[i : i + bs], y[i : i + bs])
+            losses.append(float(l) * len(x[i : i + bs]))
+            accs.append(float(a) * len(x[i : i + bs]))
+            ns.append(len(x[i : i + bs]))
+        n = sum(ns)
+        return sum(losses) / n, sum(accs) / n
+
+    def predict(self, params, state, x, batch_size: int | None = None):
+        """Softmax probabilities, batched — `model.predict` equivalent."""
+        from ..models.mlp import predict_probs
+
+        bs = batch_size or self.cfg.batch_size
+        x = np.asarray(x, dtype=np.float32)
+        out = []
+        fn = jax.jit(lambda p, s, xb: predict_probs(self.model_cfg, p, s, xb))
+        for i in range(0, len(x), bs):
+            out.append(np.asarray(fn(params, state, x[i : i + bs])))
+        return np.concatenate(out, axis=0)
+
+    def fit(
+        self,
+        train_x,
+        train_y,
+        val_x,
+        val_y,
+        params=None,
+        state=None,
+        checkpoint_dir=None,
+    ) -> dict:
+        """Full training loop with early stopping; returns a result dict with
+        best params (by val_loss, like ModelCheckpoint save_best_only) and
+        history. Data is host numpy; batches stream to device per step.
+        """
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        if params is None:
+            key, k0 = jax.random.split(key)
+            params, state = init_mlp(self.model_cfg, k0)
+        opt_state = self.optimizer.init(params)
+        cstate = self.constraint_state
+
+        train_x = np.asarray(train_x, dtype=np.float32)
+        train_y = np.asarray(train_y, dtype=np.int32)
+        rng = np.random.default_rng(cfg.seed)
+        batch_idx = self._batches(len(train_x), rng)
+
+        best_val = np.inf
+        best = None
+        wait = 0
+        history = {"loss": [], "acc": [], "val_loss": [], "val_acc": []}
+        ckpt = None
+        if checkpoint_dir is not None:
+            from .checkpoints import CheckpointManager
+
+            ckpt = CheckpointManager(checkpoint_dir)
+
+        t0 = time.perf_counter()
+        steps = 0
+        for epoch in range(cfg.epochs):
+            if cfg.reshuffle_each_epoch:
+                batch_idx = self._batches(len(train_x), rng)
+            ep_loss = ep_acc = ep_n = 0.0
+            for bidx in batch_idx:
+                key, krng = jax.random.split(key)
+                params, state, opt_state, cstate, loss, acc = self.train_step(
+                    params, state, opt_state, cstate,
+                    train_x[bidx], train_y[bidx], krng,
+                )
+                ep_loss += float(loss) * len(bidx)
+                ep_acc += float(acc) * len(bidx)
+                ep_n += len(bidx)
+                steps += 1
+            val_loss, val_acc = self.evaluate(params, state, val_x, val_y)
+            history["loss"].append(ep_loss / ep_n)
+            history["acc"].append(ep_acc / ep_n)
+            history["val_loss"].append(val_loss)
+            history["val_acc"].append(val_acc)
+            for cb in self.epoch_callbacks:
+                cb(epoch, params, state, history)
+            if cfg.log_every and epoch % cfg.log_every == 0:
+                print(
+                    f"epoch {epoch}: loss={history['loss'][-1]:.4f} "
+                    f"acc={history['acc'][-1]:.4f} val_loss={val_loss:.4f} "
+                    f"val_acc={val_acc:.4f}"
+                )
+            if val_loss < best_val:
+                best_val = val_loss
+                best = (jax.tree.map(np.asarray, params),
+                        jax.tree.map(np.asarray, state))
+                wait = 0
+                if ckpt is not None:
+                    ckpt.save_best(params, state, opt_state, epoch, val_loss)
+            else:
+                wait += 1
+                if wait > cfg.patience:
+                    break
+        elapsed = time.perf_counter() - t0
+        if best is None:
+            best = (jax.tree.map(np.asarray, params),
+                    jax.tree.map(np.asarray, state))
+        return {
+            "params": params,
+            "state": state,
+            "opt_state": opt_state,
+            "constraint_state": cstate,
+            "best_params": best[0],
+            "best_state": best[1],
+            "best_val_loss": best_val,
+            "history": history,
+            "epochs_run": len(history["loss"]),
+            "steps": steps,
+            "seconds": elapsed,
+            "examples_per_sec": steps * cfg.batch_size / max(elapsed, 1e-9),
+        }

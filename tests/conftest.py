@@ -8,7 +8,10 @@ Must set the env vars *before* jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the dev image exports JAX_PLATFORMS=axon (the
+# remote TPU tunnel), which would route every test compile through it at
+# 30-60 s apiece. Tests must be hermetic on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +22,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The env var alone is NOT honored in this image (the axon TPU plugin wins
+# over JAX_PLATFORMS); the config call is. Both are set for belt and braces.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,195 @@
+"""Attack suite tests: noise statistics vs reference formulas, FGSM/PGD
+gradient-oracle checks, JSMA/C&W behavior, sweeps, dolphin DSP."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asr_using_robust_nn_tpu.attacks import blackbox, dolphin, whitebox
+from asr_using_robust_nn_tpu.attacks.sweeps import (
+    GRIDS,
+    blackbox_sweep,
+    whitebox_sweep,
+)
+from asr_using_robust_nn_tpu.models.mlp import MLPConfig, apply_mlp, init_mlp
+from asr_using_robust_nn_tpu.train import TrainConfig, Trainer
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """A small model trained on separable blobs, for attack evaluation."""
+    rng = np.random.default_rng(3)
+    n, d, k = 600, 24, 4
+    means = rng.standard_normal((k, d)) * 3
+    y = rng.integers(0, k, n).astype(np.int32)
+    x = (means[y] + rng.standard_normal((n, d)) * 0.7).astype(np.float32)
+    cfg = MLPConfig(in_dim=d, n_classes=k, hidden=(32, 16), dropout=(0.0, 0.0))
+    tr = Trainer(cfg, TrainConfig(batch_size=64, epochs=60, patience=60, seed=0))
+    res = tr.fit(x[:500], y[:500], x[500:], y[500:])
+    params, state = res["best_params"], res["best_state"]
+
+    def logits_fn(xx):
+        return apply_mlp(cfg, params, state, xx, train=False)[0]
+
+    def predict(xx):
+        return np.asarray(jax.nn.softmax(logits_fn(jnp.asarray(xx)), -1))
+
+    return cfg, params, state, logits_fn, predict, x[500:], y[500:]
+
+
+class TestNoiseModels:
+    def test_white_noise_stats(self):
+        key = jax.random.PRNGKey(0)
+        x = jnp.zeros((100_000,))
+        noisy = blackbox.add_white_noise(x, 0.5, key)
+        assert abs(float(noisy.std()) - 0.5) < 0.01
+        assert abs(float(noisy.mean())) < 0.01
+
+    def test_mixture_impulse_fraction(self):
+        # u = |N(0,1)| < p -> impulse probability ~ 2*Phi(p)-1 ~ 0.008 for p=0.01
+        key = jax.random.PRNGKey(1)
+        n = blackbox.mixtgauss((200_000,), 0.01, 1.0, 10.0, key)
+        frac_big = float(jnp.mean(jnp.abs(n) > 3.0))
+        # background N(0,1): P(|x|>3) ~ 0.0027; impulses push it up
+        assert 0.003 < frac_big < 0.02
+
+    def test_snr_noise_achieves_target(self):
+        key = jax.random.PRNGKey(2)
+        t = np.arange(22050) / 22050
+        sig = jnp.asarray(np.sin(2 * np.pi * 440 * t), jnp.float32)
+        for snr in [20.0, 5.0]:
+            noisy = blackbox.add_white_noise_with_snr(sig, snr, key)
+            noise = np.asarray(noisy) - np.asarray(sig)
+            got_snr = 10 * np.log10(
+                np.mean(np.asarray(sig) ** 2) / np.mean(noise**2)
+            )
+            assert abs(got_snr - snr) < 0.5
+
+    def test_audio_noise_features_pipeline(self, rng):
+        from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig
+
+        waves = (rng.standard_normal((3, 22050)) * 0.1).astype(np.float32)
+        cfg = FrontendConfig.digit()
+        clean = blackbox.audio_noise_features(
+            waves, cfg, jax.random.PRNGKey(0), backend="xla"
+        )
+        noisy = blackbox.audio_noise_features(
+            waves, cfg, jax.random.PRNGKey(0), sigma=0.05, backend="xla"
+        )
+        assert clean.shape == (3, 880)
+        assert not np.allclose(clean, noisy)
+
+
+class TestWhitebox:
+    def test_fgsm_is_sign_gradient(self, trained):
+        cfg, params, state, logits_fn, _, x, y = trained
+        eps = 0.1
+        adv = whitebox.fgsm(logits_fn, jnp.asarray(x), jnp.asarray(y), eps)
+        delta = np.asarray(adv) - x
+        np.testing.assert_allclose(np.abs(delta), eps, atol=1e-6)
+
+    def test_fgsm_reduces_accuracy(self, trained):
+        cfg, params, state, logits_fn, predict, x, y = trained
+        clean_acc = np.mean(np.argmax(predict(x), -1) == y)
+        adv = whitebox.fgsm(logits_fn, jnp.asarray(x), jnp.asarray(y), 2.0)
+        adv_acc = np.mean(np.argmax(predict(np.asarray(adv)), -1) == y)
+        assert clean_acc > 0.85
+        assert adv_acc < clean_acc - 0.3
+
+    def test_pgd_ball_constraint_and_stronger_than_fgsm(self, trained):
+        cfg, params, state, logits_fn, predict, x, y = trained
+        eps = 1.0
+        adv_p = whitebox.pgd(logits_fn, jnp.asarray(x), jnp.asarray(y), eps,
+                             eps_step=0.1, max_iter=20)
+        delta = np.asarray(adv_p) - x
+        assert np.max(np.abs(delta)) <= eps + 1e-5
+        adv_f = whitebox.fgsm(logits_fn, jnp.asarray(x), jnp.asarray(y), eps)
+        acc_p = np.mean(np.argmax(predict(np.asarray(adv_p)), -1) == y)
+        acc_f = np.mean(np.argmax(predict(np.asarray(adv_f)), -1) == y)
+        assert acc_p <= acc_f + 0.02  # PGD at least as strong
+
+    def test_jsma_modifies_limited_features(self, trained):
+        cfg, params, state, logits_fn, predict, x, y = trained
+        xs = jnp.asarray(x[:8])
+        adv = whitebox.jsma(logits_fn, xs, theta=1.0, gamma=0.2,
+                            key=jax.random.PRNGKey(0))
+        delta = np.asarray(adv) - np.asarray(xs)
+        changed = (np.abs(delta) > 1e-9).sum(axis=1)
+        assert changed.max() <= int(0.2 * x.shape[1]) + 1
+        assert (delta >= -1e-9).all()  # theta>0 only increases
+
+    def test_carlini_l2_finds_small_perturbations(self, trained):
+        cfg, params, state, logits_fn, predict, x, y = trained
+        xs, ys = jnp.asarray(x[:16]), jnp.asarray(y[:16])
+        adv = whitebox.carlini_l2(logits_fn, xs, ys, confidence=0.0,
+                                  binary_search_steps=5, max_iter=30)
+        adv_acc = np.mean(np.argmax(predict(np.asarray(adv)), -1) == y[:16])
+        clean_acc = np.mean(np.argmax(predict(x[:16]), -1) == y[:16])
+        assert adv_acc < clean_acc
+        # perturbation is economical vs FGSM at success-comparable strength
+        l2 = np.sqrt(((np.asarray(adv) - x[:16]) ** 2).sum(-1)).mean()
+        assert l2 < np.sqrt(x.shape[1]) * 2.0
+
+    def test_carlini_linf_bounded(self, trained):
+        cfg, params, state, logits_fn, predict, x, y = trained
+        xs, ys = jnp.asarray(x[:8]), jnp.asarray(y[:8])
+        adv = whitebox.carlini_linf(logits_fn, xs, ys, max_iter=30)
+        assert np.isfinite(np.asarray(adv)).all()
+
+
+class TestSweeps:
+    def test_blackbox_mfcc_sweep_monotonic_degradation(self, trained):
+        cfg, params, state, logits_fn, predict, x, y = trained
+        res = blackbox_sweep(
+            "white_mfcc", predict, predict, y,
+            strengths=[0.0, 1.0, 10.0], test_features=x,
+        )
+        a = res.accuracy_constrained
+        assert a[0] >= a[-1]  # heavy noise hurts
+        assert res.accuracy_unconstrained.shape == (3,)
+        d = res.as_dict()
+        assert d["attack"] == "white_mfcc"
+
+    def test_whitebox_fgsm_sweep(self, trained):
+        cfg, params, state, logits_fn, predict, x, y = trained
+        res = whitebox_sweep(
+            "fgsm", logits_fn, logits_fn, predict, predict, x, y,
+            strengths=[0.01, 1.0],
+        )
+        assert res.accuracy_constrained[1] <= res.accuracy_constrained[0] + 0.02
+
+    def test_reference_grids_present(self):
+        assert len(GRIDS["mfcc_sigmas"]) == 20
+        assert GRIDS["snrs_db"] == [60, 30, 20, 15, 10, 5, 0]
+        assert len(GRIDS["pgd_eps"]) == 50
+
+
+class TestDolphin:
+    def test_spectrum_moves_to_carrier(self):
+        sr = 16000
+        t = np.arange(sr) / sr
+        voice = (0.5 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+        ultra, rate = dolphin.dolphin_attack(voice, sr)
+        assert rate == 192_000
+        assert np.max(np.abs(ultra)) <= 1.0 + 1e-6
+        spec = np.abs(np.fft.rfft(ultra.astype(np.float64)))
+        freqs = np.fft.rfftfreq(len(ultra), 1 / rate)
+        # dominant energy near 30 kHz +/- 1 kHz, not at baseband
+        band = (freqs > 29_000) & (freqs < 31_000)
+        base = freqs < 8_000
+        assert spec[band].sum() > 10 * spec[base].sum()
+
+    def test_file_roundtrip(self, tmp_path):
+        from asr_using_robust_nn_tpu.utils import audio_io
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        voice = (0.4 * np.sin(2 * np.pi * 700 * t)).astype(np.float32)
+        vp = tmp_path / "voice.wav"
+        audio_io.write_wav(vp, voice, sr)
+        out = dolphin.generate_dolphin_wav(vp, tmp_path / "attack.wav")
+        ch, rate = audio_io.read_wav(out)
+        assert rate == 192_000
+        assert ch.shape[1] > 10 * sr  # upsampled

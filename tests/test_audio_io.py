@@ -1,0 +1,101 @@
+"""WAV IO + resampler tests: roundtrip, scipy cross-check, native parity."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from asr_using_robust_nn_tpu.utils import audio_io, native
+
+
+@pytest.fixture()
+def sine(rng):
+    sr = 16000
+    t = np.arange(sr) / sr
+    return (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), sr
+
+
+class TestWav:
+    def test_roundtrip_pcm16(self, tmp_path, sine):
+        y, sr = sine
+        p = tmp_path / "a.wav"
+        audio_io.write_wav(p, y, sr)
+        ch, got_sr = audio_io.read_wav(p)
+        assert got_sr == sr
+        assert ch.shape == (1, len(y))
+        np.testing.assert_allclose(ch[0], y, atol=2.0 / 32767)
+
+    def test_stereo_mixdown(self, tmp_path, rng):
+        sr = 8000
+        stereo = np.clip(rng.standard_normal((2, 1000)) * 0.25, -0.9, 0.9).astype(np.float32)
+        p = tmp_path / "s.wav"
+        audio_io.write_wav(p, stereo, sr)
+        y, got_sr = audio_io.load_audio(p, target_sr=sr, native=False)
+        np.testing.assert_allclose(y, stereo.mean(axis=0), atol=3.0 / 32767)
+
+    def test_reject_garbage(self, tmp_path):
+        p = tmp_path / "bad.wav"
+        p.write_bytes(b"not a wav file at all")
+        with pytest.raises(ValueError):
+            audio_io.read_wav(p)
+
+
+class TestResample:
+    def test_identity(self, sine):
+        y, sr = sine
+        out = audio_io.resample(y, sr, sr)
+        np.testing.assert_array_equal(out, y)
+
+    def test_sine_preserved_16k_to_22k(self, sine):
+        y, sr = sine
+        out = audio_io.resample(y, sr, 22050)
+        assert len(out) == int(np.ceil(len(y) * 22050 / 16000))
+        # the 440 Hz tone must survive with correct frequency & amplitude
+        interior = out[2000:-2000].astype(np.float64)
+        t = (np.arange(len(out)) / 22050)[2000:-2000]
+        ref = 0.5 * np.sin(2 * np.pi * 440 * t)
+        assert np.corrcoef(interior, ref)[0, 1] > 0.9999
+        np.testing.assert_allclose(np.max(np.abs(interior)), 0.5, rtol=1e-3)
+
+    def test_antialiasing(self, rng):
+        # energy above the new Nyquist must be strongly attenuated
+        sr = 22050
+        t = np.arange(sr) / sr
+        hi = np.sin(2 * np.pi * 10500 * t)  # above 8000/2... relative to 16k/2
+        out = audio_io.resample(hi.astype(np.float32), sr, 16000)
+        assert np.sqrt(np.mean(out[500:-500] ** 2)) < 0.02
+
+    def test_matches_scipy_resample_poly_class(self, sine):
+        # same filter family — outputs should agree closely (not bit-exact;
+        # scipy uses a different default design, so compare via spectrum)
+        y, sr = sine
+        ours = audio_io.resample(y, sr, 22050)
+        theirs = scipy.signal.resample_poly(y.astype(np.float64), 441, 320)
+        n = min(len(ours), len(theirs))
+        assert (
+            np.corrcoef(ours[500 : n - 500], theirs[500 : n - 500])[0, 1] > 0.9999
+        )
+
+
+class TestNative:
+    def test_native_builds_and_matches_numpy(self, tmp_path, sine):
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        y, sr = sine
+        p = tmp_path / "n.wav"
+        audio_io.write_wav(p, y, sr)
+        got = native.decode_resample(p, 22050)
+        want, _ = audio_io.load_audio(p, 22050, native=False)
+        assert got is not None
+        n = min(len(got), len(want))
+        np.testing.assert_allclose(got[:n], want[:n], atol=1e-5)
+
+    def test_batch(self, tmp_path, sine):
+        y, sr = sine
+        paths = []
+        for i in range(4):
+            p = tmp_path / f"b{i}.wav"
+            audio_io.write_wav(p, y * (0.2 + 0.1 * i), sr)
+            paths.append(p)
+        outs = native.decode_resample_batch(paths, 22050)
+        assert len(outs) == 4
+        assert all(len(o) == len(outs[0]) for o in outs)

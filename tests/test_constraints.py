@@ -1,0 +1,252 @@
+"""Constraint engine vs numpy SVD oracles (SURVEY.md §4 test strategy).
+
+Oracles re-derive the reference algorithms (`Voice digit recogniton/
+Constraints.py`) in plain numpy and the projections must match on random
+weights; training-integration tests check the invariants the thesis relies
+on (sigma(product) <= rho after projection).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asr_using_robust_nn_tpu.constraints import (
+    get_lipschitz_constrained,
+    get_norms,
+    get_upper_lipschitz,
+    make_custom_constraint,
+    make_fista_constraint,
+    make_norm_constraint,
+    make_simple_norm_constraint,
+)
+from asr_using_robust_nn_tpu.models.mlp import (
+    MLPConfig,
+    dense_kernels,
+    init_mlp,
+)
+from asr_using_robust_nn_tpu.ops.spectral import (
+    product_spectral_norm,
+    spectral_norm,
+)
+from asr_using_robust_nn_tpu.train import TrainConfig, Trainer
+
+EPS = float(np.spacing(1.0))
+
+
+def tiny_cfg():
+    return MLPConfig(in_dim=12, n_classes=4, hidden=(16, 8), dropout=(0.0, 0.0),
+                     batch_norm=False)
+
+
+@pytest.fixture()
+def params(rng):
+    p, _ = init_mlp(tiny_cfg(), jax.random.PRNGKey(5))
+    # make weights non-trivial (mix of signs, varied scale)
+    layers = []
+    for layer in p["layers"]:
+        w = rng.standard_normal(layer["w"].shape).astype(np.float32) * 0.7
+        layers.append(dict(layer, w=jnp.asarray(w)))
+    return dict(p, layers=layers)
+
+
+class TestSpectralOps:
+    def test_spectral_norm_matches_svd(self, rng):
+        for shape in [(64, 32), (33, 57), (8, 8)]:
+            w = rng.standard_normal(shape).astype(np.float32)
+            want = np.linalg.norm(w, ord=2)
+            got = float(spectral_norm(jnp.asarray(w), n_iter=64))
+            np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_product_spectral_norm_matches_svd(self, rng):
+        ws = [rng.standard_normal(s).astype(np.float32)
+              for s in [(12, 16), (16, 8), (8, 4)]]
+        prod = ws[2].T @ ws[1].T @ ws[0].T
+        want = np.linalg.norm(prod, ord=2)
+        got = float(product_spectral_norm([jnp.asarray(w) for w in ws], n_iter=64))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestNormConstraint:
+    def test_matches_numpy_oracle(self, params):
+        rho = 0.5
+        c = make_norm_constraint(rho, n_iter=64)
+        new_params, _ = c.apply(params, c.init(params))
+        ws = [np.asarray(w) for w in dense_kernels(params)]
+        m = len(ws)
+        for w_old, w_new in zip(ws, dense_kernels(new_params)):
+            w_clamped = w_old * (w_old >= 0)
+            want = w_clamped * (rho ** (1 / m)) / (
+                np.linalg.norm(w_clamped, ord=2) + EPS
+            )
+            np.testing.assert_allclose(np.asarray(w_new), want, atol=1e-5)
+
+    def test_post_projection_norms(self, params):
+        rho = 2.0
+        c = make_norm_constraint(rho, n_iter=64)
+        new_params, _ = c.apply(params, c.init(params))
+        m = len(dense_kernels(params))
+        for w in dense_kernels(new_params):
+            np.testing.assert_allclose(
+                np.linalg.norm(np.asarray(w), ord=2), rho ** (1 / m), rtol=1e-4
+            )
+
+
+class TestCustomConstraint:
+    def test_frobenius_semantics(self, params):
+        # parity quirk: reference tf.norm(w, ord=2) on 2-D == Frobenius
+        rho = 1.0
+        c = make_custom_constraint(rho)
+        new_params, _ = c.apply(params, ())
+        for w_old, w_new in zip(dense_kernels(params), dense_kernels(new_params)):
+            w_c = np.asarray(w_old) * (np.asarray(w_old) >= 0)
+            want = w_c * rho / (np.linalg.norm(w_c) + EPS)  # Frobenius
+            np.testing.assert_allclose(np.asarray(w_new), want, atol=1e-6)
+
+
+class TestSimpleNormConstraint:
+    def test_matches_numpy_oracle(self, params):
+        rho = 0.1
+        c = make_simple_norm_constraint(rho, n_iter=64)
+        new_params, _ = c.apply(params, c.init(params))
+        ws = [np.asarray(w) for w in dense_kernels(params)]
+        prod = None
+        for w in reversed(ws):
+            prod = w.T if prod is None else prod @ w.T
+        factor = (rho / (np.linalg.norm(prod, ord=2) + EPS)) ** (1 / len(ws))
+        for w_old, w_new in zip(ws, dense_kernels(new_params)):
+            np.testing.assert_allclose(
+                np.asarray(w_new), w_old * factor, rtol=1e-4, atol=1e-6
+            )
+
+    def test_affected_layers_subset(self, params):
+        c = make_simple_norm_constraint(0.1, affected_layers_indices=(0,), n_iter=64)
+        new_params, _ = c.apply(params, c.init(params))
+        ws_old = dense_kernels(params)
+        ws_new = dense_kernels(new_params)
+        assert not np.allclose(np.asarray(ws_new[0]), np.asarray(ws_old[0]))
+        for i in (1, 2):
+            np.testing.assert_array_equal(
+                np.asarray(ws_new[i]), np.asarray(ws_old[i])
+            )
+
+    def test_idempotent_at_target(self, params):
+        # after projection, sigma(product) == rho, so a second application
+        # scales by (rho/rho)^(1/m) == 1
+        rho = 0.5
+        c = make_simple_norm_constraint(rho, n_iter=128)
+        p1, s1 = c.apply(params, c.init(params))
+        ws = [np.asarray(w) for w in dense_kernels(p1)]
+        prod = None
+        for w in reversed(ws):
+            prod = w.T if prod is None else prod @ w.T
+        np.testing.assert_allclose(np.linalg.norm(prod, ord=2), rho, rtol=1e-3)
+
+
+class TestFistaConstraint:
+    def _numpy_fista(self, w, y0, a, b, nit, rho, alpha=2.1):
+        """Literal numpy port of Constraint_Fista (Constraints.py:69-94)."""
+        y = y0
+        yold = y0
+        gam = 1 / ((np.linalg.norm(a, ord=2) * np.linalg.norm(b, ord=2) + EPS) ** 2)
+        w_new = w
+        for i in range(nit):
+            eta = i / (i + 1 + alpha)
+            z = y + eta * (y - yold)
+            yold = y
+            w_new = w - a.T @ z @ b.T
+            w_new = w_new * (w_new >= 0)
+            t = a @ w_new @ b
+            s = np.linalg.svd(t, compute_uv=False)
+            criterion = np.linalg.norm(w_new - w, ord="fro")
+            constraint = np.linalg.norm(s[s > rho] - rho)
+            yt = z + gam * t
+            u1, s1, v1 = np.linalg.svd(yt / gam, full_matrices=False)
+            s1 = np.clip(s1, 0, rho)
+            y = yt - gam * np.dot(u1 * s1, v1)
+            if criterion < 30 and constraint < 0.01:
+                return w_new
+        return w_new
+
+    def test_matches_numpy_oracle(self, params):
+        rho, nit = 5.0, 3
+        ws = [np.asarray(w) for w in dense_kernels(params)]
+        m = len(ws)
+        c = make_fista_constraint(rho, nit=nit)
+        new_params, _ = c.apply(params, ())
+        for i in range(m):
+            a = None
+            for j in range(m - 1, i, -1):
+                a = ws[j].T if a is None else a @ ws[j].T
+            if a is None:
+                a = np.eye(ws[i].shape[1], dtype=np.float32)
+            b = None
+            for j in range(i - 1, -1, -1):
+                b = ws[j].T if b is None else b @ ws[j].T
+            if b is None:
+                b = np.eye(ws[i].shape[0], dtype=np.float32)
+            y0 = np.zeros((a.shape[0], b.shape[1]), np.float32)
+            want = self._numpy_fista(ws[i].T, y0, a, b, nit, rho).T
+            got = np.asarray(dense_kernels(new_params)[i])
+            np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+class TestLipschitzAnalyzers:
+    def test_norms_and_upper(self, params):
+        norms = np.asarray(get_norms(params))
+        ws = [np.asarray(w) for w in dense_kernels(params)]
+        want = [np.linalg.norm(w, ord=2) for w in ws]
+        np.testing.assert_allclose(norms, want, rtol=1e-5)
+        np.testing.assert_allclose(
+            float(get_upper_lipschitz(norms)), np.prod(want), rtol=1e-4
+        )
+
+    def test_constrained_lipschitz_with_bn(self, rng):
+        cfg = MLPConfig(in_dim=12, n_classes=4, hidden=(16, 8),
+                        dropout=(0.0, 0.0), batch_norm=True)
+        params, state = init_mlp(cfg, jax.random.PRNGKey(0))
+        # randomize BN stats/gamma so the correction factor is non-trivial
+        for i in range(2):
+            params["layers"][i]["gamma"] = jnp.asarray(
+                rng.random(params["layers"][i]["gamma"].shape).astype(np.float32) + 0.5
+            )
+            state["layers"][i]["var"] = jnp.asarray(
+                rng.random(state["layers"][i]["var"].shape).astype(np.float32) + 0.5
+            )
+        got = float(get_lipschitz_constrained(cfg, params, state))
+        ws = [np.asarray(w) for w in dense_kernels(params)]
+        prod = None
+        for w in reversed(ws):
+            prod = w.T if prod is None else prod @ w.T
+        corr = 1.0
+        for i in range(2):
+            corr *= np.max(
+                np.sqrt(np.asarray(state["layers"][i]["var"]))
+                / np.asarray(params["layers"][i]["gamma"])
+            )
+        want = np.linalg.norm(prod, ord=2) / corr
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestTrainingIntegration:
+    def test_constrained_training_bounds_lipschitz(self, rng):
+        """Train with simple_norm(rho) and check sigma(product) <= ~rho
+        after every-batch projection — the invariant lip_stats_callback
+        monitors in the reference."""
+        cfg = MLPConfig(in_dim=12, n_classes=4, hidden=(16, 8),
+                        dropout=(0.0, 0.0), batch_norm=False, nonneg=True)
+        rho = 0.5
+        c = make_simple_norm_constraint(rho, n_iter=32)
+        x = rng.standard_normal((128, 12)).astype(np.float32)
+        y = rng.integers(0, 4, 128).astype(np.int32)
+        p0, _ = init_mlp(cfg, jax.random.PRNGKey(0))
+        tr = Trainer(cfg, TrainConfig(batch_size=32, epochs=3, patience=100),
+                     constraint=c.apply, constraint_state=c.init(p0))
+        res = tr.fit(x[:96], y[:96], x[96:], y[96:])
+        ws = [np.asarray(w) for w in dense_kernels(res["params"])]
+        prod = None
+        for w in reversed(ws):
+            prod = w.T if prod is None else prod @ w.T
+        sigma = np.linalg.norm(prod, ord=2)
+        assert sigma <= rho * 1.05, sigma

@@ -1,0 +1,127 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asr_using_robust_nn_tpu.models.mlp import MLPConfig, init_mlp
+from asr_using_robust_nn_tpu.parallel import (
+    DataParallelTrainer,
+    data_mesh,
+    psum_train_step,
+)
+from asr_using_robust_nn_tpu.train import TrainConfig, Trainer, adam_optimizer
+
+
+def task(rng, n=512, d=16, k=4):
+    means = rng.standard_normal((k, d)) * 3
+    y = rng.integers(0, k, n).astype(np.int32)
+    x = (means[y] + rng.standard_normal((n, d))).astype(np.float32)
+    return x, y
+
+
+def cfg(**kw):
+    base = dict(in_dim=16, n_classes=4, hidden=(32, 16), dropout=(0.0, 0.0))
+    base.update(kw)
+    return MLPConfig(**base)
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        assert len(jax.devices()) == 8
+        mesh = data_mesh()
+        assert mesh.devices.size == 8
+
+    def test_submesh(self):
+        mesh = data_mesh(4)
+        assert mesh.devices.size == 4
+
+
+class TestDataParallelTrainer:
+    def test_matches_single_device_losses(self, rng):
+        """Same seed, same data -> GSPMD losses track single-device losses
+        (identical math; tiny float reduction-order drift allowed)."""
+        x, y = task(rng)
+        c = cfg()
+        tcfg = TrainConfig(batch_size=64, epochs=3, patience=100, seed=0)
+        single = Trainer(c, tcfg)
+        res_s = single.fit(x[:384], y[:384], x[384:], y[384:])
+        mesh = data_mesh()
+        dp = DataParallelTrainer(c, mesh, tcfg)
+        res_p = dp.fit(x[:384], y[:384], x[384:], y[384:])
+        np.testing.assert_allclose(
+            res_s["history"]["loss"], res_p["history"]["loss"], rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            res_s["history"]["val_acc"], res_p["history"]["val_acc"], atol=0.02
+        )
+
+    def test_ragged_batch_masking(self, rng):
+        """Batch size 50 on 8 devices: padding rows must not leak into
+        loss/accuracy."""
+        x, y = task(rng, n=110)
+        c = cfg()
+        mesh = data_mesh()
+        dp = DataParallelTrainer(c, mesh, TrainConfig(batch_size=50, epochs=2,
+                                                      patience=100, seed=0))
+        res = dp.fit(x[:100], y[:100], x[100:], y[100:])
+        assert np.isfinite(res["history"]["loss"]).all()
+        # eval on odd-size set equals manual accuracy
+        probs = dp.predict(res["params"], res["state"], x[100:])
+        _, acc = dp.evaluate(res["params"], res["state"], x[100:], y[100:])
+        manual = float(np.mean(np.argmax(probs, -1) == y[100:]))
+        assert abs(acc - manual) < 1e-6
+
+    def test_constrained_dp_training(self, rng):
+        from asr_using_robust_nn_tpu.constraints import make_simple_norm_constraint
+        from asr_using_robust_nn_tpu.models.mlp import dense_kernels
+
+        x, y = task(rng, n=256)
+        c = cfg(nonneg=True)
+        con = make_simple_norm_constraint(0.5, n_iter=32)
+        p0, _ = init_mlp(c, jax.random.PRNGKey(0))
+        mesh = data_mesh()
+        dp = DataParallelTrainer(
+            c, mesh, TrainConfig(batch_size=64, epochs=2, patience=100),
+            constraint=con.apply, constraint_state=con.init(p0),
+        )
+        res = dp.fit(x[:192], y[:192], x[192:], y[192:])
+        ws = [np.asarray(w) for w in dense_kernels(res["params"])]
+        prod = None
+        for w in reversed(ws):
+            prod = w.T if prod is None else prod @ w.T
+        assert np.linalg.norm(prod, ord=2) <= 0.55
+
+
+class TestPsumVariant:
+    def test_explicit_collectives_match_gspmd(self, rng):
+        x, y = task(rng, n=256)
+        c = cfg(batch_norm=False)
+        mesh = data_mesh()
+        opt = adam_optimizer(1e-3)
+        step = psum_train_step(c, opt, mesh)
+        params, state = init_mlp(c, jax.random.PRNGKey(0))
+        opt_state = opt.init(params)
+        xb, yb = jnp.asarray(x[:64]), jnp.asarray(y[:64])
+        params2, _, _, loss, acc = step(params, state, opt_state, xb, yb,
+                                        jax.random.PRNGKey(1))
+        # oracle: same step single-device
+        single = Trainer(c, TrainConfig(batch_size=64))
+        p0, s0 = init_mlp(c, jax.random.PRNGKey(0))
+        o0 = single.optimizer.init(p0)
+        p1, _, _, _, loss_s, acc_s = single.train_step(
+            p0, s0, o0, None, xb, yb, jax.random.PRNGKey(1)
+        )
+        np.testing.assert_allclose(float(loss), float(loss_s), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(params2["layers"][0]["w"]),
+            np.asarray(p1["layers"][0]["w"]),
+            atol=1e-5,
+        )
+
+    def test_bn_model_rejected(self):
+        mesh = data_mesh()
+        with pytest.raises(ValueError):
+            psum_train_step(cfg(batch_norm=True), adam_optimizer(), mesh)
