@@ -114,3 +114,46 @@ def audio_noise_features(
         noisy = waves
     fe = Frontend(cfg, backend=backend)
     return np.asarray(fe.flat(noisy, lengths=lengths))
+
+
+def audio_noise_features_sliced(
+    waves_list,
+    labels,
+    cfg: FrontendConfig,
+    key,
+    sigma: float = 0.0,
+    p: float = 0.0,
+    alpha: float = 0.0,
+    snr_db: float | None = None,
+    backend: str = "auto",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Speaker-task audio-domain attack: noise the FULL recording first,
+    then slice into 1-s windows (dropping boundary seconds) and MFCC each —
+    the order the reference uses (`Speaker recognition/attacks.py:97-146`,
+    `:254-295`). Labels are replicated per window.
+
+    waves_list: list of variable-length mono waveforms at cfg.sr.
+    """
+    from ..data.pipeline import slice_seconds
+    from ..frontend.mfcc import Frontend
+
+    rng_keys = jax.random.split(key, max(len(waves_list), 1))
+    windows, out_labels = [], []
+    for i, (w, lab) in enumerate(zip(waves_list, np.asarray(labels))):
+        w = jnp.asarray(w, jnp.float32)
+        if sigma != 0.0:
+            w = add_white_noise(w, sigma, rng_keys[i])
+        elif p != 0.0 and alpha != 0.0:
+            w = add_noise(w, p, alpha, rng_keys[i])
+        elif snr_db is not None:
+            w = add_white_noise_with_snr(w, snr_db, rng_keys[i])
+        s = slice_seconds(np.asarray(w), cfg.sr)
+        windows.append(s)
+        out_labels.extend([lab] * len(s))
+    if not windows or sum(len(s) for s in windows) == 0:
+        return (np.zeros((0, cfg.feature_dim)),
+                np.zeros((0,), dtype=np.int64))
+    allw = np.concatenate([s for s in windows if len(s)], axis=0)
+    fe = Frontend(cfg, backend=backend)
+    feats = np.asarray(fe.flat(allw))
+    return feats, np.asarray(out_labels, dtype=np.int64)

@@ -88,6 +88,7 @@ def blackbox_sweep(
     strengths=None,
     test_features: np.ndarray | None = None,
     test_waves: np.ndarray | None = None,
+    test_waves_list=None,
     lengths=None,
     frontend_cfg: FrontendConfig | None = None,
     standardize: Callable | None = None,
@@ -102,6 +103,13 @@ def blackbox_sweep(
     `standardize` receives perturbed features and applies the reference's
     fit-on-all scaler when the pipeline standardizes after the attack
     (`attacks.py:342,437-438`). Audio variants need test_waves + frontend_cfg.
+
+    Speaker-task audio variants pass `test_waves_list` (variable-length
+    recordings) instead of `test_waves`: noise is added to the full
+    recording, THEN it is sliced into 1-s windows and MFCC'd, with labels
+    replicated per window — the reference's order
+    (`Speaker recognition/attacks.py:97-146`). In that mode `labels` are the
+    per-recording labels.
     """
     key = jax.random.PRNGKey(seed)
     if strengths is None:
@@ -113,8 +121,21 @@ def blackbox_sweep(
             "snr_audio": GRIDS["snrs_db"],
         }[attack]
     acc_c, acc_u = [], []
+    sliced = test_waves_list is not None
     for i, s in enumerate(np.asarray(strengths)):
         k = jax.random.fold_in(key, i)
+        if sliced and attack in ("white_audio", "mixture_audio", "snr_audio"):
+            kw = {"white_audio": dict(sigma=float(s)),
+                  "mixture_audio": dict(p=mixture_p, alpha=float(s)),
+                  "snr_audio": dict(snr_db=float(s))}[attack]
+            feats, win_labels = blackbox.audio_noise_features_sliced(
+                test_waves_list, labels, frontend_cfg, k, backend=backend, **kw
+            )
+            if standardize is not None:
+                feats = standardize(feats)
+            acc_c.append(accuracy(predict_constrained(feats), win_labels))
+            acc_u.append(accuracy(predict_unconstrained(feats), win_labels))
+            continue
         if attack == "white_mfcc":
             feats = np.asarray(
                 blackbox.add_white_noise_on_dataset(test_features, float(s), k)

@@ -1,0 +1,434 @@
+"""Non-interactive CLI for the whole framework.
+
+Replaces the reference's hard-coded constants + interactive `input()` prompts
+(`Voice digit recogniton/attacks.py:325-333`, decision tree at `:2-12`;
+variant selection by code comments, SURVEY.md §5 config) with explicit
+subcommands:
+
+  asrtpu prepare-data --task digit --data-dir data/ --out-dir processed/
+  asrtpu train --task digit --variant constrained --data processed/ \
+               --constraint simple --rho 0.1 --ckpt runs/digit_c
+  asrtpu attack --type fgsm --data processed/ --constrained runs/digit_c \
+                --unconstrained runs/digit_u --standardize before
+  asrtpu dolphin --voice seven.wav --out attack.wav
+  asrtpu bench
+
+(entry point `asrtpu` via pyproject; also `python -m
+asr_using_robust_nn_tpu.cli.main`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_prepare(sub):
+    p = sub.add_parser("prepare-data", help="corpus -> .npy artifacts")
+    p.add_argument("--task", choices=["digit", "speaker"], required=True)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="train a model variant")
+    p.add_argument("--task", choices=["digit", "speaker"], required=True)
+    p.add_argument("--variant", choices=["unconstrained", "constrained"],
+                   default="unconstrained")
+    p.add_argument("--data", required=True, help="artifact dir from prepare-data")
+    p.add_argument("--ckpt", required=True, help="checkpoint dir")
+    p.add_argument("--constraint",
+                   choices=["simple", "norm", "fista", "custom", "none"],
+                   default="simple",
+                   help="projection algorithm for --variant constrained "
+                        "(reference known-good: simple)")
+    p.add_argument("--rho", type=float, default=None,
+                   help="Lipschitz target (defaults: digit 0.1, speaker 1.0 — "
+                        "train_constraints.py:102)")
+    p.add_argument("--epochs", type=int, default=10000)
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stopping patience (reference per-script values "
+                        "by default)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="train over all visible devices (1-D data mesh)")
+    p.add_argument("--no-standardize", action="store_true")
+    p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--monitor-lipschitz", action="store_true")
+    p.add_argument("--export-h5", default=None, help="also export weights to .h5")
+    p.add_argument("--resume", action="store_true",
+                   help="initialize from the best checkpoint already in --ckpt "
+                        "(the reference's commented-out load_weights resume, "
+                        "train_constraints.py:96)")
+    p.add_argument("--metrics-dir", default=None,
+                   help="write JSONL + TensorBoard scalars here (the "
+                        "reference's TensorBoard callback equivalent)")
+
+
+def _add_attack(sub):
+    p = sub.add_parser("attack", help="robustness sweep on a model pair")
+    p.add_argument("--type", required=True, choices=[
+        "white_mfcc", "mixture_mfcc", "white_audio", "mixture_audio",
+        "snr_audio", "fgsm", "pgd", "jsma", "cw_l2", "cw_linf",
+    ])
+    p.add_argument("--task", choices=["digit", "speaker"], default="digit")
+    p.add_argument("--data", required=True)
+    p.add_argument("--constrained", required=True, help="ckpt dir or .h5")
+    p.add_argument("--unconstrained", required=True, help="ckpt dir or .h5")
+    p.add_argument("--standardize", choices=["before", "after"], default="before",
+                   help="standardize data before or after the attack "
+                        "(attacks.py:325)")
+    p.add_argument("--strengths", default=None,
+                   help="comma-separated override of the sweep grid")
+    p.add_argument("--out", default=None, help="write curves JSON here")
+    p.add_argument("--plot", default=None, help="write comparison plot PNG here")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-samples", type=int, default=None)
+
+
+def _add_dolphin(sub):
+    p = sub.add_parser("dolphin", help="generate ultrasound attack WAV")
+    p.add_argument("--voice", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--carrier-khz", type=float, default=30.0)
+
+
+def _add_bench(sub):
+    p = sub.add_parser("bench", help="run the benchmark (bench.py)")
+    p.add_argument("--quick", action="store_true")
+
+
+def _add_eval(sub):
+    p = sub.add_parser("evaluate", help="clean test eval + confusion matrix")
+    p.add_argument("--task", choices=["digit", "speaker"], default="digit")
+    p.add_argument("--data", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--variant", choices=["unconstrained", "constrained"],
+                   default="unconstrained")
+    p.add_argument("--no-standardize", action="store_true")
+    p.add_argument("--plot", default=None,
+                   help="write confusion-matrix heatmap PNG (the reference's "
+                        "seaborn heatmap, train_google_dataset.py:94-99)")
+
+
+def model_cfg_for(task: str, variant: str):
+    from ..models.mlp import MLPConfig
+
+    return {
+        ("digit", "unconstrained"): MLPConfig.digit_unconstrained,
+        ("digit", "constrained"): MLPConfig.digit_constrained,
+        ("speaker", "unconstrained"): MLPConfig.speaker_unconstrained,
+        ("speaker", "constrained"): MLPConfig.speaker_constrained,
+    }[(task, variant)]()
+
+
+def load_model(path, cfg):
+    """Load params/state from an Orbax ckpt dir or a Keras-layout .h5."""
+    import jax
+
+    from ..models.mlp import init_mlp
+    from ..train.checkpoints import CheckpointManager, import_keras_h5
+
+    if str(path).endswith(".h5"):
+        return import_keras_h5(path, cfg)
+    tree, _ = CheckpointManager(path).load_best()  # no example: raw restore
+    return tree["params"], tree["state"]
+
+
+def cmd_prepare(args):
+    from ..data import build_dataset
+
+    splits = build_dataset(args.data_dir, args.task, out_dir=args.out_dir,
+                           seed=args.seed, backend=args.backend)
+    print(json.dumps({
+        "train": list(splits.train_data.shape),
+        "dev": list(splits.dev_data.shape),
+        "test": list(splits.test_data.shape),
+        "out_dir": args.out_dir,
+    }))
+
+
+# Reference per-script defaults (SURVEY.md §2 rows 6, 11)
+_REF_DEFAULTS = {
+    ("digit", "unconstrained"): dict(batch=256, patience=200),
+    ("digit", "constrained"): dict(batch=512, patience=6000),
+    ("speaker", "unconstrained"): dict(batch=64, patience=10),
+    ("speaker", "constrained"): dict(batch=64, patience=2000),
+}
+_REF_RHO = {"digit": 0.1, "speaker": 1.0}
+
+
+def cmd_train(args):
+    from ..constraints import (
+        make_custom_constraint,
+        make_fista_constraint,
+        make_norm_constraint,
+        make_simple_norm_constraint,
+        lipschitz_monitor,
+    )
+    from ..data import load_artifacts, standardize_fit_all
+    from ..models.mlp import init_mlp
+    from ..train import TrainConfig, Trainer
+
+    d = load_artifacts(args.data)
+    if args.no_standardize:
+        tr, dv, te = d.train_data, d.dev_data, d.test_data
+    else:
+        tr, dv, te, _, _ = standardize_fit_all(d.train_data, d.dev_data, d.test_data)
+
+    cfg = model_cfg_for(args.task, args.variant)
+    defaults = _REF_DEFAULTS[(args.task, args.variant)]
+    batch = args.batch_size or defaults["batch"]
+    patience = args.patience if args.patience is not None else defaults["patience"]
+
+    constraint = cstate = None
+    if args.variant == "constrained" and args.constraint != "none":
+        rho = args.rho if args.rho is not None else _REF_RHO[args.task]
+        maker = {
+            "simple": lambda: make_simple_norm_constraint(rho),
+            "norm": lambda: make_norm_constraint(rho),
+            "fista": lambda: make_fista_constraint(rho, nit=2),
+            "custom": lambda: make_custom_constraint(rho),
+        }[args.constraint]
+        con = maker()
+        import jax
+
+        p0, _ = init_mlp(cfg, jax.random.PRNGKey(args.seed))
+        constraint, cstate = con.apply, con.init(p0)
+
+    tcfg = TrainConfig(batch_size=batch, epochs=args.epochs, patience=patience,
+                       seed=args.seed, log_every=args.log_every)
+    callbacks = ()
+    if args.monitor_lipschitz:
+        callbacks = (lipschitz_monitor(cfg),)
+    if args.data_parallel:
+        from ..parallel import DataParallelTrainer, data_mesh
+
+        trainer = DataParallelTrainer(cfg, data_mesh(), tcfg,
+                                      constraint=constraint,
+                                      constraint_state=cstate,
+                                      epoch_callbacks=callbacks)
+    else:
+        trainer = Trainer(cfg, tcfg, constraint=constraint,
+                          constraint_state=cstate, epoch_callbacks=callbacks)
+    init_params = init_state = None
+    if args.resume and os.path.exists(os.path.join(args.ckpt, "best")):
+        tree, meta = __import__(
+            "asr_using_robust_nn_tpu.train.checkpoints", fromlist=["CheckpointManager"]
+        ).CheckpointManager(args.ckpt).load_best()
+        init_params, init_state = tree["params"], tree["state"]
+        print(f"resumed from {args.ckpt} (epoch {meta.get('epoch')}, "
+              f"val_loss {meta.get('val_loss')})")
+    res = trainer.fit(tr, d.train_label, dv, d.dev_label,
+                      params=init_params, state=init_state,
+                      checkpoint_dir=args.ckpt, metrics_dir=args.metrics_dir)
+    test_loss, test_acc = trainer.evaluate(res["best_params"], res["best_state"],
+                                           te, d.test_label)
+    print(f"Test loss: {test_loss} / Test accuracy: {test_acc}")
+    if args.export_h5:
+        from ..train.checkpoints import export_h5
+
+        export_h5(args.export_h5, res["best_params"], res["best_state"])
+    print(json.dumps({
+        "epochs_run": res["epochs_run"],
+        "best_val_loss": res["best_val_loss"],
+        "test_loss": test_loss,
+        "test_accuracy": test_acc,
+        "examples_per_sec": res["examples_per_sec"],
+        "ckpt": args.ckpt,
+    }))
+
+
+def cmd_attack(args):
+    import jax.numpy as jnp
+
+    from ..attacks.sweeps import blackbox_sweep, whitebox_sweep
+    from ..data import load_artifacts, standardize_fit_all
+    from ..models.mlp import apply_mlp
+    from ..ops.mfcc_xla import FrontendConfig
+    from ..utils import native
+
+    d = load_artifacts(args.data)
+    cfg_c = model_cfg_for(args.task, "constrained")
+    cfg_u = model_cfg_for(args.task, "unconstrained")
+    pc, sc = load_model(args.constrained, cfg_c)
+    pu, su = load_model(args.unconstrained, cfg_u)
+
+    def make_std():
+        trd, dvd, ted = d.train_data, d.dev_data, d.test_data
+        _, _, _, mean, scale = standardize_fit_all(trd, dvd, ted)
+        return lambda x: (x - mean) / scale
+
+    std = make_std()
+    test_feats = d.test_data
+    std_before = args.standardize == "before"
+    if std_before:
+        test_feats = std(test_feats)
+
+    def logits_c(x):
+        return apply_mlp(cfg_c, pc, sc, x, train=False)[0]
+
+    def logits_u(x):
+        return apply_mlp(cfg_u, pu, su, x, train=False)[0]
+
+    def predict_c(x):
+        import jax
+
+        return np.asarray(jax.nn.softmax(logits_c(jnp.asarray(x, jnp.float32)), -1))
+
+    def predict_u(x):
+        import jax
+
+        return np.asarray(jax.nn.softmax(logits_u(jnp.asarray(x, jnp.float32)), -1))
+
+    strengths = None
+    if args.strengths:
+        strengths = [float(s) for s in args.strengths.split(",")]
+
+    audio_attacks = {"white_audio", "mixture_audio", "snr_audio"}
+    if args.type in audio_attacks:
+        fe_cfg = (FrontendConfig.digit() if args.task == "digit"
+                  else FrontendConfig.speaker())
+        if d.test_filenames is None:
+            print("error: artifact dir has no test_dataset_to_add_noise/",
+                  file=sys.stderr)
+            return 2
+        waves_list = native.decode_resample_batch(list(d.test_filenames), fe_cfg.sr)
+        labels = d.test_audio_label
+        if args.task == "speaker":
+            # noise full recording -> slice 1-s windows -> MFCC (SR order)
+            res = blackbox_sweep(
+                args.type, predict_c, predict_u, labels, strengths=strengths,
+                test_waves_list=waves_list, frontend_cfg=fe_cfg,
+                standardize=std, seed=args.seed,
+            )
+        else:
+            cap = max(len(w) for w in waves_list)
+            cap = -(-cap // fe_cfg.sr) * fe_cfg.sr
+            waves = np.zeros((len(waves_list), cap), np.float32)
+            lengths = np.zeros((len(waves_list),), np.int64)
+            for i, w in enumerate(waves_list):
+                waves[i, : len(w)] = w
+                lengths[i] = len(w)
+            res = blackbox_sweep(
+                args.type, predict_c, predict_u, labels, strengths=strengths,
+                test_waves=waves, lengths=lengths, frontend_cfg=fe_cfg,
+                standardize=std, seed=args.seed,
+            )
+    elif args.type in ("white_mfcc", "mixture_mfcc"):
+        res = blackbox_sweep(
+            args.type, predict_c, predict_u, d.test_label, strengths=strengths,
+            test_features=test_feats,
+            standardize=None if std_before else std, seed=args.seed,
+        )
+    else:
+        res = whitebox_sweep(
+            args.type, logits_c, logits_u, predict_c, predict_u,
+            test_feats, d.test_label, strengths=strengths,
+            standardize=None if std_before else std,
+            max_samples=args.max_samples, seed=args.seed,
+        )
+    for s, ac, au in zip(res.strengths, res.accuracy_constrained,
+                         res.accuracy_unconstrained):
+        print(f"strength={s}: constrained={ac*100:.2f}% "
+              f"unconstrained={au*100:.2f}%")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res.as_dict(), f, indent=2)
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        ax = res.plot()
+        ax.figure.savefig(args.plot, dpi=120)
+    print(json.dumps(res.as_dict()))
+
+
+def cmd_dolphin(args):
+    from ..attacks.dolphin import generate_dolphin_wav
+
+    out = generate_dolphin_wav(args.voice, args.out,
+                               carrier_freq=args.carrier_khz * 1000.0)
+    print(json.dumps({"out": out}))
+
+
+def cmd_bench(args):
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main(quick=args.quick)
+
+
+def cmd_evaluate(args):
+    from ..data import load_artifacts, standardize_fit_all
+    from ..models.mlp import apply_mlp
+    from ..train import TrainConfig, Trainer
+
+    d = load_artifacts(args.data)
+    if args.no_standardize:
+        te = d.test_data
+    else:
+        _, _, te, _, _ = standardize_fit_all(d.train_data, d.dev_data, d.test_data)
+    cfg = model_cfg_for(args.task, args.variant)
+    params, state = load_model(args.ckpt, cfg)
+    trainer = Trainer(cfg, TrainConfig(batch_size=256))
+    loss, acc = trainer.evaluate(params, state, te, d.test_label)
+    probs = trainer.predict(params, state, te)
+    pred = np.argmax(probs, axis=1)
+    n = cfg.n_classes
+    conf = np.zeros((n, n), dtype=np.int64)
+    for t, p in zip(np.asarray(d.test_label, dtype=int), pred):
+        conf[t, p] += 1
+    print(f"Test loss: {loss} / Test accuracy: {acc}")
+    print(conf)
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        im = ax.imshow(conf, cmap="viridis")
+        fig.colorbar(im)
+        ax.set_title("Confusion Matrix")
+        ax.set_xlabel("predicted")
+        ax.set_ylabel("true")
+        fig.savefig(args.plot, dpi=120)
+    print(json.dumps({"test_loss": loss, "test_accuracy": acc,
+                      "confusion_matrix": conf.tolist()}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="asrtpu",
+        description="TPU-native robust-ASR framework "
+                    "(capabilities of fmazilu/ASR-using-robust-NN)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_prepare(sub)
+    _add_train(sub)
+    _add_attack(sub)
+    _add_dolphin(sub)
+    _add_bench(sub)
+    _add_eval(sub)
+    args = ap.parse_args(argv)
+    return {
+        "prepare-data": cmd_prepare,
+        "train": cmd_train,
+        "attack": cmd_attack,
+        "dolphin": cmd_dolphin,
+        "bench": cmd_bench,
+        "evaluate": cmd_evaluate,
+    }[args.cmd](args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -127,6 +127,7 @@ def apply_mlp(
     for i, p in enumerate(params["layers"]):
         h = h @ p["w"] + p["b"]
         if i == n_hidden:  # output layer: logits
+            new_slayers.append(dict(state["layers"][i]))  # keep structure
             break
         h = jax.nn.relu(h)
         s = state["layers"][i]

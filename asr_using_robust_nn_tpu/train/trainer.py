@@ -161,6 +161,7 @@ class Trainer:
         params=None,
         state=None,
         checkpoint_dir=None,
+        metrics_dir=None,
     ) -> dict:
         """Full training loop with early stopping; returns a result dict with
         best params (by val_loss, like ModelCheckpoint save_best_only) and
@@ -188,6 +189,11 @@ class Trainer:
             from .checkpoints import CheckpointManager
 
             ckpt = CheckpointManager(checkpoint_dir)
+        writer = None
+        if metrics_dir is not None:
+            from ..utils.profiling import MetricWriter
+
+            writer = MetricWriter(metrics_dir)
 
         t0 = time.perf_counter()
         steps = 0
@@ -212,6 +218,11 @@ class Trainer:
             history["val_acc"].append(val_acc)
             for cb in self.epoch_callbacks:
                 cb(epoch, params, state, history)
+            if writer is not None:
+                writer.scalars(
+                    {"loss": history["loss"][-1], "acc": history["acc"][-1],
+                     "val_loss": val_loss, "val_acc": val_acc}, epoch
+                )
             if cfg.log_every and epoch % cfg.log_every == 0:
                 print(
                     f"epoch {epoch}: loss={history['loss'][-1]:.4f} "

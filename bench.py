@@ -1,0 +1,225 @@
+"""Benchmark: end-to-end robust-ASR pipeline throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Pipeline measured (per BASELINE.json north star "MFCC+train utterances/sec/
+chip"): fused MFCC featurization + one training epoch (Adam+CCE+BN+dropout +
+simple_norm Lipschitz projection, the constrained digit recipe) + FGSM
+adversarial eval, on synthetic 1-s utterances, per-utterance wall time
+summed across stages. Each stage is timed with a dependency-chained
+lax.fori_loop so the runtime cannot cache or overlap identical calls
+(the axon tunnel memoizes repeated pure executions — see
+.claude/skills/verify/SKILL.md).
+
+vs_baseline compares against the reference's CPU pipeline cost recorded in
+baselines/reference_cpu.json (librosa-equivalent sequential frontend +
+Keras CPU fit + per-batch host-SVD constraint + TF gradient FGSM), measured
+by baselines/measure_reference_cpu.py on this machine. Re-run that script to
+refresh the constants.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def _measure_rtt(x0) -> float:
+    """Median round-trip of a trivial compute + tiny host fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x, s: jnp.ravel(x)[:4] + s)
+    ts = []
+    float(np.asarray(f(x0, jnp.float32(0.5)))[0])  # compile
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(f(x0, jnp.float32(i)))[0])
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def _time_chain(fn, x0, n_iter: int, rtt: float) -> float:
+    """Wall seconds per fn application: one jitted chain of n_iter dependent
+    applications, synchronized by an actual host fetch of the result (the
+    axon runtime's block_until_ready and result memoization both mis-report
+    otherwise), minus the separately measured round-trip."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        def body(i, carry):
+            x, acc = carry
+            out = fn(x)
+            # consume every output element (defeat DCE) and feed a scalar
+            # back into the next input (defeat caching/hoisting/CSE)
+            probe = sum(jnp.sum(leaf).astype(jnp.float32)
+                        for leaf in jax.tree.leaves(out)) * jnp.float32(1e-20)
+            return (x + probe, acc + probe)
+
+        x_fin, acc = jax.lax.fori_loop(0, n_iter, body, (x, jnp.float32(0.0)))
+        return jnp.ravel(x_fin)[:4] + acc
+
+    def fetch(x):
+        return float(np.asarray(run(x))[0])
+
+    fetch(x0)  # compile
+    # fresh buffer per run: the runtime memoizes identical pure executions
+    x2 = jax.tree.map(lambda a: a + 2.0, x0)
+    t0 = time.perf_counter()
+    fetch(x2)
+    dt = time.perf_counter() - t0
+    return max(dt - rtt, 1e-9) / n_iter
+
+
+def measure_tpu(quick: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from asr_using_robust_nn_tpu.constraints import make_simple_norm_constraint
+    from asr_using_robust_nn_tpu.models.mlp import MLPConfig, init_mlp
+    from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig, mfcc_xla_batch
+    from asr_using_robust_nn_tpu.train import TrainConfig, Trainer
+    from asr_using_robust_nn_tpu.attacks.whitebox import fgsm
+    from asr_using_robust_nn_tpu.models.mlp import apply_mlp
+
+    rng = np.random.default_rng(0)
+    b_mfcc = 512 if quick else 1024
+    # per-stage chain lengths sized so each timed chain runs >= ~100 ms,
+    # well above tunnel RTT jitter (~+-5 ms)
+    n_iter = 4 if quick else 8          # MFCC: ~14 ms/call
+    n_iter_train = 16 if quick else 64  # train step: ~3 ms/call
+    n_iter_fgsm = 64 if quick else 512  # FGSM eval: ~0.06 ms/call
+    cfg = FrontendConfig.digit()
+    waves = jax.device_put(
+        (rng.standard_normal((b_mfcc, 22050)) * 0.1).astype(np.float32)
+    )
+
+    rtt = _measure_rtt(waves)
+
+    # Stage 1: frontend. Measured for both kernels; XLA wins on v5e (see
+    # frontend/mfcc.py), pallas kept for comparison.
+    t_pallas = None
+    try:
+        from asr_using_robust_nn_tpu.ops.pallas_mfcc import mfcc_pallas_batch
+
+        if jax.default_backend() in ("tpu", "axon"):
+            t_pallas = _time_chain(
+                lambda w: mfcc_pallas_batch(w, cfg), waves, n_iter, rtt
+            )
+    except Exception:
+        t_pallas = None
+    t_xla = _time_chain(lambda w: mfcc_xla_batch(w, cfg), waves, n_iter, rtt)
+    t_mfcc = min(t for t in (t_pallas, t_xla) if t is not None)
+    mfcc_utts_per_s = b_mfcc / t_mfcc
+
+    # Stage 2: constrained training step (digit recipe: batch 512, NonNeg +
+    # simple_norm rho=0.1 in-step projection).
+    mcfg = MLPConfig.digit_constrained()
+    bs = 512
+    trainer_cfg = TrainConfig(batch_size=bs)
+    con = make_simple_norm_constraint(0.1, n_iter=4)
+    params, state = init_mlp(mcfg, jax.random.PRNGKey(0))
+    trainer = Trainer(mcfg, trainer_cfg, constraint=con.apply,
+                      constraint_state=con.init(params))
+    opt_state = trainer.optimizer.init(params)
+    cstate = con.init(params)
+    x = jax.device_put(rng.standard_normal((bs, 880)).astype(np.float32))
+    y = jax.device_put(rng.integers(0, 10, bs).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    import jax as _jax
+
+    step = trainer.train_step
+
+    @_jax.jit
+    def train_chain(params, state, opt_state, cstate, x):
+        def body(i, carry):
+            params, state, opt_state, cstate, x = carry
+            k = _jax.random.fold_in(key, i)
+            params, state, opt_state, cstate, loss, acc = step(
+                params, state, opt_state, cstate, x, y, k
+            )
+            return (params, state, opt_state, cstate, x + 1e-20 * loss)
+
+        out = _jax.lax.fori_loop(
+            0, n_iter_train, body, (params, state, opt_state, cstate, x)
+        )
+        # 4-float probe over every updated tensor, computed in-graph so the
+        # host fetch moves 16 bytes, not a weight matrix
+        probe = sum(jnp.sum(l).astype(jnp.float32)
+                    for l in _jax.tree.leaves((out[0], out[1])))
+        return out[0], out[1], jnp.ravel(out[4])[:4] + probe
+
+    p2, s2, pr = train_chain(params, state, opt_state, cstate, x)
+    float(np.asarray(pr)[0])
+    params2, state2 = p2, s2
+    x_t = x + 0.5  # fresh buffer (axon memoizes identical executions)
+    t0 = time.perf_counter()
+    _, _, pr = train_chain(params, state, opt_state, cstate, x_t)
+    float(np.asarray(pr)[0])  # 16-byte host fetch forces completion
+    t_train = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iter_train
+    train_utts_per_s = bs / t_train
+
+    # Stage 3: FGSM adversarial eval (generate adversarial batch + predict).
+    def logits_fn(xx):
+        return apply_mlp(mcfg, params2, state2, xx, train=False)[0]
+
+    def fgsm_eval(xx):
+        adv = fgsm(logits_fn, xx, y, 0.1)
+        return logits_fn(adv)
+
+    t_fgsm = _time_chain(fgsm_eval, x, n_iter_fgsm, rtt)
+    fgsm_utts_per_s = bs / t_fgsm
+
+    # Composite: one utterance featurized + trained on (1 epoch ~ 1 visit) +
+    # FGSM-evaluated.
+    per_utt = t_mfcc / b_mfcc + t_train / bs + t_fgsm / bs
+    return {
+        "mfcc_utts_per_s": mfcc_utts_per_s,
+        "mfcc_backend": "pallas" if t_mfcc == t_pallas else "xla",
+        "train_utts_per_s": train_utts_per_s,
+        "fgsm_utts_per_s": fgsm_utts_per_s,
+        "pipeline_utts_per_s": 1.0 / per_utt,
+        "rtt_ms": rtt * 1e3,
+        "backend": jax.default_backend(),
+    }
+
+
+def load_reference_baseline() -> dict | None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "baselines", "reference_cpu.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def main(quick: bool = False) -> int:
+    stats = measure_tpu(quick=quick)
+    ref = load_reference_baseline()
+    vs = None
+    if ref and ref.get("pipeline_utts_per_s"):
+        vs = stats["pipeline_utts_per_s"] / ref["pipeline_utts_per_s"]
+    out = {
+        "metric": "MFCC+train+FGSM pipeline throughput",
+        "value": round(stats["pipeline_utts_per_s"], 2),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "detail": stats,
+        "reference_cpu": ref,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(quick="--quick" in sys.argv))

@@ -193,3 +193,56 @@ class TestDolphin:
         ch, rate = audio_io.read_wav(out)
         assert rate == 192_000
         assert ch.shape[1] > 10 * sr  # upsampled
+
+
+class TestSpeakerSlicedAttack:
+    def test_noise_then_slice_order(self, rng):
+        """Speaker audio attacks: noise on the full recording, then 1-s
+        slicing with boundary drop, labels replicated per window."""
+        import jax
+
+        from asr_using_robust_nn_tpu.attacks.blackbox import (
+            audio_noise_features_sliced,
+        )
+        from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig
+
+        cfg = FrontendConfig.speaker()
+        # two recordings: 4 s and 3 s -> 2 and 1 usable windows
+        waves = [
+            (rng.standard_normal(4 * cfg.sr) * 0.1).astype(np.float32),
+            (rng.standard_normal(3 * cfg.sr) * 0.1).astype(np.float32),
+        ]
+        labels = np.array([3, 7])
+        feats, wl = audio_noise_features_sliced(
+            waves, labels, cfg, jax.random.PRNGKey(0), sigma=0.01,
+            backend="xla",
+        )
+        assert feats.shape == (3, 2020)
+        assert wl.tolist() == [3, 3, 7]
+        # clean vs noisy differ
+        clean, _ = audio_noise_features_sliced(
+            waves, labels, cfg, jax.random.PRNGKey(0), backend="xla"
+        )
+        assert not np.allclose(feats, clean)
+
+    def test_sweep_sliced_mode(self, rng, trained):
+        from asr_using_robust_nn_tpu.attacks.sweeps import blackbox_sweep
+        from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig
+
+        cfg, params, state, logits_fn, predict, x, y = trained
+
+        # the trained fixture model has 24-dim input; build a fake predict
+        # that maps 2020-dim windows to it by truncation (sweep mechanics
+        # are what's under test, not accuracy)
+        def fake_predict(feats):
+            return predict(feats[:, :24].astype(np.float32))
+
+        waves = [(rng.standard_normal(3 * 22050) * 0.1).astype(np.float32)
+                 for _ in range(2)]
+        res = blackbox_sweep(
+            "white_audio", fake_predict, fake_predict, np.array([0, 1]),
+            strengths=[0.0, 0.05],
+            test_waves_list=waves, frontend_cfg=FrontendConfig.speaker(),
+            backend="xla",
+        )
+        assert res.accuracy_constrained.shape == (2,)

@@ -1,0 +1,140 @@
+"""CLI end-to-end: prepare-data -> train -> evaluate -> attack -> dolphin,
+all on a tiny synthetic corpus, exercising the real console entrypoints."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from asr_using_robust_nn_tpu.cli.main import main
+from asr_using_robust_nn_tpu.utils import audio_io
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(7)
+    sr = 16000
+    for wi, w in enumerate(["zero", "one", "two"]):
+        d = root / "data" / w
+        d.mkdir(parents=True)
+        for i in range(10):
+            t = np.arange(sr) / sr
+            y = 0.4 * np.sin(2 * np.pi * (250 + 200 * wi) * t)
+            y += 0.03 * rng.standard_normal(sr)
+            audio_io.write_wav(d / f"{i}.wav", y.astype(np.float32), sr)
+    return root
+
+
+@pytest.fixture(scope="module")
+def artifacts(corpus):
+    out = corpus / "processed"
+    rc = main([
+        "prepare-data", "--task", "digit", "--data-dir", str(corpus / "data"),
+        "--out-dir", str(out), "--seed", "0", "--backend", "xla",
+    ])
+    assert rc == 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def trained_pair(corpus, artifacts):
+    """Train tiny unconstrained + constrained digit models via the CLI."""
+    cu = corpus / "ck_u"
+    cc = corpus / "ck_c"
+    for variant, ck in [("unconstrained", cu), ("constrained", cc)]:
+        rc = main([
+            "train", "--task", "digit", "--variant", variant,
+            "--data", str(artifacts), "--ckpt", str(ck),
+            "--epochs", "4", "--patience", "10", "--batch-size", "8",
+            "--log-every", "0",
+        ])
+        assert rc == 0
+    return cu, cc
+
+
+class TestCLI:
+    def test_prepare_artifacts_exist(self, artifacts):
+        names = set(os.listdir(artifacts))
+        assert {"train_data.npy", "dev_data.npy", "test_data.npy"} <= names
+        assert (artifacts / "test_dataset_to_add_noise" / "test_filenames.npy").exists()
+        d = np.load(artifacts / "train_data.npy")
+        assert d.shape[1] == 880
+
+    def test_evaluate(self, artifacts, trained_pair, capsys):
+        cu, _ = trained_pair
+        rc = main([
+            "evaluate", "--task", "digit", "--data", str(artifacts),
+            "--ckpt", str(cu), "--variant", "unconstrained",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Test accuracy" in out or "test_accuracy" in out
+
+    def test_attack_white_mfcc(self, artifacts, trained_pair, corpus, capsys):
+        cu, cc = trained_pair
+        out_json = corpus / "curve.json"
+        rc = main([
+            "attack", "--type", "white_mfcc", "--task", "digit",
+            "--data", str(artifacts),
+            "--constrained", str(cc), "--unconstrained", str(cu),
+            "--strengths", "0.0,5.0", "--out", str(out_json),
+        ])
+        assert rc == 0
+        curve = json.loads(out_json.read_text())
+        assert len(curve["accuracy_constrained"]) == 2
+
+    def test_attack_fgsm(self, artifacts, trained_pair, capsys):
+        cu, cc = trained_pair
+        rc = main([
+            "attack", "--type", "fgsm", "--task", "digit",
+            "--data", str(artifacts),
+            "--constrained", str(cc), "--unconstrained", str(cu),
+            "--strengths", "0.5", "--max-samples", "3",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "strength=0.5" in out
+
+    def test_attack_audio_domain(self, artifacts, trained_pair, capsys):
+        cu, cc = trained_pair
+        rc = main([
+            "attack", "--type", "white_audio", "--task", "digit",
+            "--data", str(artifacts),
+            "--constrained", str(cc), "--unconstrained", str(cu),
+            "--strengths", "0.01",
+        ])
+        assert rc == 0
+
+    def test_dolphin(self, corpus, tmp_path):
+        voice = corpus / "data" / "zero" / "0.wav"
+        out = tmp_path / "attack.wav"
+        rc = main(["dolphin", "--voice", str(voice), "--out", str(out)])
+        assert rc == 0
+        _, rate = audio_io.read_wav(out)
+        assert rate == 192_000
+
+    def test_train_with_h5_export_and_attack_from_h5(
+        self, artifacts, corpus, capsys
+    ):
+        h5 = corpus / "model.h5"
+        rc = main([
+            "train", "--task", "digit", "--variant", "constrained",
+            "--data", str(artifacts), "--ckpt", str(corpus / "ck_h5"),
+            "--epochs", "2", "--patience", "10", "--batch-size", "8",
+            "--log-every", "0", "--export-h5", str(h5),
+        ])
+        assert rc == 0
+        assert h5.exists()
+        rc = main([
+            "attack", "--type", "white_mfcc", "--task", "digit",
+            "--data", str(artifacts),
+            "--constrained", str(h5), "--unconstrained", str(h5),
+            "--strengths", "0.0",
+        ])
+        assert rc == 0
+
+    def test_missing_subcommand_errors(self):
+        with pytest.raises(SystemExit):
+            main([])
