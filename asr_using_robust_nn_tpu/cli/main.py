@@ -38,7 +38,10 @@ def _add_prepare(sub):
 
 def _add_train(sub):
     p = sub.add_parser("train", help="train a model variant")
-    p.add_argument("--task", choices=["digit", "speaker"], required=True)
+    p.add_argument("--config", default=None,
+                   help="JSON config (see configs/) providing defaults for "
+                        "the flags below; explicit flags win")
+    p.add_argument("--task", choices=["digit", "speaker"], required=False)
     p.add_argument("--variant", choices=["unconstrained", "constrained"],
                    default="unconstrained")
     p.add_argument("--data", required=True, help="artifact dir from prepare-data")
@@ -166,6 +169,20 @@ _REF_RHO = {"digit": 0.1, "speaker": 1.0}
 
 
 def cmd_train(args):
+    if args.config:
+        with open(args.config) as f:
+            conf = {k: v for k, v in json.load(f).items()
+                    if not k.startswith("_")}
+        for k, v in conf.items():
+            k = k.replace("-", "_")
+            if getattr(args, k, None) in (None, False) or (
+                k == "epochs" and args.epochs == 10000
+            ):
+                setattr(args, k, v)
+    if not args.task:
+        print("error: --task required (or provide it via --config)",
+              file=sys.stderr)
+        return 2
     from ..constraints import (
         make_custom_constraint,
         make_fista_constraint,

@@ -30,6 +30,74 @@ from . import filters
 __all__ = ["FrontendConfig", "frame_signal", "mfcc_xla_batch"]
 
 
+def _rdft_power_split(
+    ypad: jnp.ndarray, n_frames: int, n_fft: int, hop: int, win_length: int,
+    levels: int, prec,
+) -> jnp.ndarray:
+    """|rDFT|^2 of windowed frames via `levels` radix-2 DIT stages.
+
+    Each level halves the leaf-matmul FLOPs (the dominant cost at
+    precision=highest, which runs multi-pass bf16 per f32 matmul and sits at
+    the MXU roofline for the direct formulation); butterflies are exact f32
+    elementwise ops. Layout-critical detail: the signal is de-interleaved
+    into 2^levels phase streams ONCE (stride slices on the (B, L) waveform
+    are cheap) and each stream framed independently — strided slicing of the
+    (B, T, n_fft) frames tensor instead costs more in relayouts than the
+    matmul savings (measured on v5e). Requires 2^levels | gcd(n_fft, hop).
+
+    Input is the center-padded signal; returns (B, T, 1+n_fft//2).
+    """
+    p_count = 1 << levels
+    assert n_fft % p_count == 0 and hop % p_count == 0, (n_fft, hop, levels)
+    window = filters.pad_center(filters.hann_window(win_length), n_fft)
+    n_sub = n_fft // p_count
+
+    frames_p = {}
+    for p in range(p_count):
+        stream = ypad[:, p::p_count]
+        frames_p[p] = frame_signal(stream, n_frames, n_sub, hop // p_count)
+
+    def rec(offset: int, step: int, n: int, lvl: int):
+        """-> (re, im), DFT bins 0..n/2 of windowed x[offset::step] (len n)."""
+        if lvl == 0:
+            w_sub = window[offset::step]
+            k = np.arange(n // 2 + 1, dtype=np.float64)
+            nn = np.arange(n, dtype=np.float64)
+            ang = 2.0 * np.pi * nn[:, None] * k[None, :] / n
+            cr = (np.cos(ang) * w_sub[:, None]).astype(np.float32)
+            ci = (-np.sin(ang) * w_sub[:, None]).astype(np.float32)
+            x = frames_p[offset]
+            re = jnp.einsum("...n,nk->...k", x, cr, precision=prec)
+            im = jnp.einsum("...n,nk->...k", x, ci, precision=prec)
+            return re, im
+        m = n // 2
+        e_re, e_im = rec(offset, 2 * step, m, lvl - 1)
+        o_re, o_im = rec(offset + step, 2 * step, m, lvl - 1)
+
+        def extend(re, im):
+            # bins 0..m/2 -> 0..m via conjugate symmetry + period m
+            half = m // 2
+            re_ext = jnp.concatenate(
+                [re, re[..., half - 1 : 0 : -1], re[..., :1]], axis=-1
+            )
+            im_ext = jnp.concatenate(
+                [im, -im[..., half - 1 : 0 : -1], im[..., :1]], axis=-1
+            )
+            return re_ext, im_ext
+
+        e_re, e_im = extend(e_re, e_im)
+        o_re, o_im = extend(o_re, o_im)
+        k = np.arange(m + 1, dtype=np.float64)
+        tw_re = np.cos(2.0 * np.pi * k / n).astype(np.float32)
+        tw_im = (-np.sin(2.0 * np.pi * k / n)).astype(np.float32)
+        x_re = e_re + (tw_re * o_re - tw_im * o_im)
+        x_im = e_im + (tw_re * o_im + tw_im * o_re)
+        return x_re, x_im
+
+    re, im = rec(0, 1, n_fft, levels)
+    return re * re + im * im
+
+
 @dataclasses.dataclass(frozen=True)
 class FrontendConfig:
     """Static parameters of one MFCC parameterization (SURVEY.md §2.2).
@@ -50,6 +118,9 @@ class FrontendConfig:
     amin: float = 1e-10
     top_db: float = 80.0
     precision: str = "highest"  # MXU precision for the DFT/mel/DCT matmuls
+    dft_split_levels: int = 0  # radix-2 DIT stages: each halves DFT matmul
+    # FLOPs at identical accuracy (exact f32 butterflies); needs
+    # 2^levels | n_fft, so 0 for the speaker preset (n_fft=441)
 
     @staticmethod
     def digit() -> "FrontendConfig":
@@ -108,6 +179,57 @@ def frame_signal(ypad: jnp.ndarray, n_frames: int, n_fft: int, hop: int) -> jnp.
     return jnp.concatenate(pieces, axis=-1)
 
 
+def _finish_mfcc(power, cfg, lengths, b, n_frames, mel_t, dct_t, prec):
+    """Shared mel->db->DCT finish with per-utterance masking."""
+    mel = jnp.einsum("btk,km->btm", power, mel_t, precision=prec)
+    log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
+    if lengths is None:
+        valid = jnp.ones((b, n_frames), dtype=bool)
+    else:
+        frame_ids = jnp.arange(n_frames)[None, :]
+        valid = frame_ids < (1 + lengths[:, None] // cfg.hop_length)
+    masked = jnp.where(valid[..., None], log_spec, -jnp.inf)
+    utt_max = jnp.max(masked, axis=(1, 2), keepdims=True)
+    db = jnp.maximum(log_spec, utt_max - cfg.top_db)
+    mfcc = jnp.einsum("btm,mc->btc", db, dct_t, precision=prec)
+    mfcc = jnp.where(valid[..., None], mfcc, 0.0)
+    t_out = cfg.utterance_length
+    if n_frames >= t_out:
+        mfcc = mfcc[:, :t_out, :]
+    else:
+        mfcc = jnp.pad(mfcc, ((0, 0), (0, t_out - n_frames), (0, 0)))
+    return jnp.swapaxes(mfcc, 1, 2)  # (B, n_mfcc, T) — reference layout
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mfcc_fft_batch(
+    waves: jnp.ndarray,
+    cfg: FrontendConfig,
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """MFCC with the spectrogram computed by a true rFFT instead of the
+    DFT-as-matmul formulation: exact f32 butterflies (no multi-pass bf16
+    emulation), same contract/output as mfcc_xla_batch. Faster whenever
+    XLA's TPU FFT beats 2x n_fft x n_freq matmuls at precision=highest."""
+    b, n_samples = waves.shape
+    n_frames = cfg.num_frames(n_samples)
+    _, _, mel_t, dct_t = cfg.constants(np.float32)
+    prec = jax.lax.Precision(cfg.precision.lower())
+
+    pad = cfg.n_fft // 2
+    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)))
+    frames = frame_signal(ypad, n_frames, cfg.n_fft, cfg.hop_length)
+    window = filters.pad_center(
+        filters.hann_window(cfg.win_length), cfg.n_fft
+    ).astype(np.float32)
+    spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return _finish_mfcc(
+        power, cfg, lengths, b, n_frames, jnp.asarray(mel_t),
+        jnp.asarray(dct_t), prec,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def mfcc_xla_batch(
     waves: jnp.ndarray,
@@ -129,31 +251,18 @@ def mfcc_xla_batch(
 
     pad = cfg.n_fft // 2
     ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)))
-    frames = frame_signal(ypad, n_frames, cfg.n_fft, cfg.hop_length)
 
-    re = jnp.einsum("btn,nk->btk", frames, cr, precision=prec)
-    im = jnp.einsum("btn,nk->btk", frames, ci, precision=prec)
-    power = re * re + im * im  # (B, T, n_freq)
-    mel = jnp.einsum("btk,km->btm", power, mel_t, precision=prec)  # (B, T, n_mels)
-
-    log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
-
-    if lengths is None:
-        valid = jnp.ones((b, n_frames), dtype=bool)
+    if cfg.dft_split_levels > 0:
+        power = _rdft_power_split(
+            ypad, n_frames, cfg.n_fft, cfg.hop_length, cfg.win_length,
+            cfg.dft_split_levels, prec,
+        )
     else:
-        frame_ids = jnp.arange(n_frames)[None, :]
-        valid = frame_ids < (1 + lengths[:, None] // cfg.hop_length)
-
-    masked = jnp.where(valid[..., None], log_spec, -jnp.inf)
-    utt_max = jnp.max(masked, axis=(1, 2), keepdims=True)
-    db = jnp.maximum(log_spec, utt_max - cfg.top_db)
-
-    mfcc = jnp.einsum("btm,mc->btc", db, dct_t, precision=prec)  # (B, T, n_mfcc)
-    mfcc = jnp.where(valid[..., None], mfcc, 0.0)
-
-    t_out = cfg.utterance_length
-    if n_frames >= t_out:
-        mfcc = mfcc[:, :t_out, :]
-    else:
-        mfcc = jnp.pad(mfcc, ((0, 0), (0, t_out - n_frames), (0, 0)))
-    return jnp.swapaxes(mfcc, 1, 2)  # (B, n_mfcc, T) — reference layout
+        frames = frame_signal(ypad, n_frames, cfg.n_fft, cfg.hop_length)
+        re = jnp.einsum("btn,nk->btk", frames, cr, precision=prec)
+        im = jnp.einsum("btn,nk->btk", frames, ci, precision=prec)
+        power = re * re + im * im  # (B, T, n_freq)
+    return _finish_mfcc(
+        power, cfg, lengths, b, n_frames, jnp.asarray(mel_t),
+        jnp.asarray(dct_t), prec,
+    )

@@ -1,0 +1,156 @@
+"""Device-resident epoch training: one jitted lax.scan per epoch.
+
+The reference streams batches from host tf.data into each graph step
+(`Voice digit recogniton/train_google_dataset.py:35-40`); the datasets are
+tiny by TPU standards (the digit train split is 16 566 x 880 floats = 58 MB),
+so the TPU-native design keeps the ENTIRE split in HBM and compiles a whole
+epoch — shuffle (device-side permutation), every train step, and the full
+validation pass — into one XLA program. Host<->device traffic drops from
+per-step to twice per epoch (scalar metrics out), and XLA pipelines the
+step chain without dispatch gaps.
+
+Semantics match Trainer.fit: same update rule, NonNeg clamp, constraint
+projection, per-epoch reshuffle flag, and CCE/accuracy metrics. The one
+deliberate difference: the trailing ragged batch is folded into a padded
+final batch with weight masking (exact loss/metrics; BatchNorm batch stats
+for that batch are computed over the padded rows' mask — handled by
+dropping padded rows from the moment sums).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.mlp import MLPConfig, apply_mlp
+from .trainer import _nonneg_clamp
+
+__all__ = ["build_epoch_fn", "build_eval_fn"]
+
+
+def _masked_forward_loss(model_cfg, params, state, x, y, w, rng):
+    """CCE + accuracy with row weights; BN moments exclude masked rows."""
+    n_hidden = len(model_cfg.hidden)
+    new_slayers = []
+    h = x
+    denom = jnp.sum(w) + 1e-9
+    if rng is not None:
+        drop_keys = jax.random.split(rng, max(n_hidden, 1))
+    for i, p in enumerate(params["layers"]):
+        h = h @ p["w"] + p["b"]
+        if i == n_hidden:
+            new_slayers.append(dict(state["layers"][i]))
+            break
+        h = jax.nn.relu(h)
+        s = state["layers"][i]
+        if model_cfg.batch_norm:
+            mean = jnp.sum(h * w[:, None], 0) / denom
+            var = jnp.sum(((h - mean) ** 2) * w[:, None], 0) / denom
+            m = model_cfg.bn_momentum
+            new_slayers.append(
+                {"mean": s["mean"] * m + mean * (1 - m),
+                 "var": s["var"] * m + var * (1 - m)}
+            )
+            h = (h - mean) * jax.lax.rsqrt(var + model_cfg.bn_eps)
+            h = h * p["gamma"] + p["beta"]
+        else:
+            new_slayers.append(dict(s))
+        rate = model_cfg.dropout[i] if i < len(model_cfg.dropout) else 0.0
+        if rate > 0.0 and rng is not None:
+            keep = 1.0 - rate
+            mask = jax.random.bernoulli(drop_keys[i], keep, h.shape)
+            h = jnp.where(mask, h / keep, 0.0)
+    logits = h
+    logp = jax.nn.log_softmax(logits, -1)
+    per = -jnp.take_along_axis(logp, y[:, None], -1)[:, 0]
+    loss = jnp.sum(per * w) / denom
+    acc = jnp.sum((jnp.argmax(logits, -1) == y) * w) / denom
+    return loss, ({"layers": new_slayers}, acc)
+
+
+def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
+                   batch_size: int = 256, shuffle: bool = True):
+    """-> jitted epoch(params, state, opt_state, cstate, data, labels, key)
+    returning (params, state, opt_state, cstate, mean_loss, mean_acc).
+
+    `data`/`labels` are full device-resident arrays, padded by the caller to
+    a multiple of batch_size with a trailing `weights` mask baked in via
+    `n_true` (static).
+    """
+
+    def epoch(params, state, opt_state, cstate, data, labels, key, n_true):
+        n_pad = data.shape[0]
+        n_batches = n_pad // batch_size
+        perm_key, drop_key = jax.random.split(key)
+        if shuffle:
+            # permute only the true rows; padded tail stays at the end
+            perm = jax.random.permutation(perm_key, n_true)
+            perm = jnp.concatenate(
+                [perm, jnp.arange(n_true, n_pad)]
+            ) if n_pad > n_true else perm
+        else:
+            perm = jnp.arange(n_pad)
+        xs = data[perm].reshape(n_batches, batch_size, -1)
+        ys = labels[perm].reshape(n_batches, batch_size)
+        row_ids = perm.reshape(n_batches, batch_size)
+        ws = (row_ids < n_true).astype(jnp.float32)
+
+        def body(carry, batch):
+            params, state, opt_state, cstate, i = carry
+            x, y, w = batch
+            rng = jax.random.fold_in(drop_key, i)
+            (loss, (state, acc)), grads = jax.value_and_grad(
+                functools.partial(_masked_forward_loss, model_cfg),
+                has_aux=True,
+            )(params, state, x, y, w, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if model_cfg.nonneg:
+                params = _nonneg_clamp(params)
+            if constraint is not None:
+                params, cstate = constraint(params, cstate)
+            return (params, state, opt_state, cstate, i + 1), (loss, acc,
+                                                               jnp.sum(w))
+
+        (params, state, opt_state, cstate, _), (losses, accs, ns) = (
+            jax.lax.scan(body, (params, state, opt_state, cstate, 0),
+                         (xs, ys, ws))
+        )
+        total = jnp.sum(ns)
+        mean_loss = jnp.sum(losses * ns) / total
+        mean_acc = jnp.sum(accs * ns) / total
+        return params, state, opt_state, cstate, mean_loss, mean_acc
+
+    return jax.jit(epoch, static_argnames=("n_true",),
+                   donate_argnums=(0, 1, 2, 3))
+
+
+def build_eval_fn(model_cfg: MLPConfig, batch_size: int = 1024):
+    """-> jitted evaluate(params, state, data, labels, n_true) -> (loss, acc)
+    over a padded device-resident eval split (single fused scan)."""
+
+    def evaluate(params, state, data, labels, n_true):
+        n_pad = data.shape[0]
+        n_batches = n_pad // batch_size
+        xs = data.reshape(n_batches, batch_size, -1)
+        ys = labels.reshape(n_batches, batch_size)
+        ids = jnp.arange(n_pad).reshape(n_batches, batch_size)
+        ws = (ids < n_true).astype(jnp.float32)
+
+        def body(carry, batch):
+            x, y, w = batch
+            logits, _ = apply_mlp(model_cfg, params, state, x, train=False)
+            logp = jax.nn.log_softmax(logits, -1)
+            per = -jnp.take_along_axis(logp, y[:, None], -1)[:, 0]
+            return carry, (jnp.sum(per * w),
+                           jnp.sum((jnp.argmax(logits, -1) == y) * w),
+                           jnp.sum(w))
+
+        _, (losses, hits, ns) = jax.lax.scan(body, None, (xs, ys, ws))
+        n = jnp.sum(ns)
+        return jnp.sum(losses) / n, jnp.sum(hits) / n
+
+    return jax.jit(evaluate, static_argnames=("n_true",))

@@ -38,6 +38,9 @@ class TrainConfig:
     shuffle: bool = True
     reshuffle_each_epoch: bool = False  # tf.data reshuffle_each_iteration=False
     log_every: int = 0  # epochs between metric prints; 0 = silent
+    device_resident: bool = False  # keep the whole split in HBM and run each
+    # epoch as ONE jitted lax.scan (train/epoch_scan.py) — the TPU-native
+    # fast path; host<->device traffic drops to scalar metrics per epoch
 
 
 def adam_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
@@ -195,23 +198,67 @@ class Trainer:
 
             writer = MetricWriter(metrics_dir)
 
+        dr = None
+        if cfg.device_resident:
+            from .epoch_scan import build_epoch_fn, build_eval_fn
+
+            bs = cfg.batch_size
+            n_true = len(train_x)
+            n_pad = -(-n_true // bs) * bs
+            d_train = jax.device_put(
+                np.pad(train_x, ((0, n_pad - n_true), (0, 0)))
+            )
+            l_train = jax.device_put(
+                np.pad(train_y, (0, n_pad - n_true)).astype(np.int32)
+            )
+            vx = np.asarray(val_x, np.float32)
+            vy = np.asarray(val_y, np.int32)
+            vb = 1024 if len(vx) >= 1024 else max(8, len(vx))
+            v_pad = -(-len(vx) // vb) * vb
+            d_val = jax.device_put(np.pad(vx, ((0, v_pad - len(vx)), (0, 0))))
+            l_val = jax.device_put(
+                np.pad(vy, (0, v_pad - len(vx))).astype(np.int32)
+            )
+            epoch_fn = build_epoch_fn(
+                self.model_cfg, self.optimizer, self.constraint,
+                batch_size=bs, shuffle=cfg.shuffle,
+            )
+            eval_fn = build_eval_fn(self.model_cfg, batch_size=vb)
+            dr = (epoch_fn, eval_fn, d_train, l_train, n_true,
+                  d_val, l_val, len(vx))
+
         t0 = time.perf_counter()
         steps = 0
         for epoch in range(cfg.epochs):
-            if cfg.reshuffle_each_epoch:
-                batch_idx = self._batches(len(train_x), rng)
-            ep_loss = ep_acc = ep_n = 0.0
-            for bidx in batch_idx:
-                key, krng = jax.random.split(key)
-                params, state, opt_state, cstate, loss, acc = self.train_step(
-                    params, state, opt_state, cstate,
-                    train_x[bidx], train_y[bidx], krng,
+            if dr is not None:
+                (epoch_fn, eval_fn, d_train, l_train, n_true,
+                 d_val, l_val, n_val) = dr
+                ek = jax.random.fold_in(
+                    key, epoch if cfg.reshuffle_each_epoch else 0
                 )
-                ep_loss += float(loss) * len(bidx)
-                ep_acc += float(acc) * len(bidx)
-                ep_n += len(bidx)
-                steps += 1
-            val_loss, val_acc = self.evaluate(params, state, val_x, val_y)
+                params, state, opt_state, cstate, mloss, macc = epoch_fn(
+                    params, state, opt_state, cstate, d_train, l_train, ek,
+                    n_true,
+                )
+                ep_loss, ep_acc, ep_n = float(mloss), float(macc), 1.0
+                steps += -(-n_true // cfg.batch_size)
+                vl, va = eval_fn(params, state, d_val, l_val, n_val)
+                val_loss, val_acc = float(vl), float(va)
+            else:
+                if cfg.reshuffle_each_epoch:
+                    batch_idx = self._batches(len(train_x), rng)
+                ep_loss = ep_acc = ep_n = 0.0
+                for bidx in batch_idx:
+                    key, krng = jax.random.split(key)
+                    params, state, opt_state, cstate, loss, acc = self.train_step(
+                        params, state, opt_state, cstate,
+                        train_x[bidx], train_y[bidx], krng,
+                    )
+                    ep_loss += float(loss) * len(bidx)
+                    ep_acc += float(acc) * len(bidx)
+                    ep_n += len(bidx)
+                    steps += 1
+                val_loss, val_acc = self.evaluate(params, state, val_x, val_y)
             history["loss"].append(ep_loss / ep_n)
             history["acc"].append(ep_acc / ep_n)
             history["val_loss"].append(val_loss)

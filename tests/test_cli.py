@@ -138,3 +138,17 @@ class TestCLI:
     def test_missing_subcommand_errors(self):
         with pytest.raises(SystemExit):
             main([])
+
+    def test_train_with_config_file(self, artifacts, corpus):
+        import json as _json
+
+        conf = corpus / "conf.json"
+        conf.write_text(_json.dumps({
+            "task": "digit", "variant": "constrained", "constraint": "simple",
+            "rho": 0.1, "batch_size": 8, "patience": 5, "epochs": 2,
+        }))
+        rc = main([
+            "train", "--config", str(conf), "--data", str(artifacts),
+            "--ckpt", str(corpus / "ck_conf"), "--log-every", "0",
+        ])
+        assert rc == 0

@@ -150,3 +150,26 @@ class TestXLAvsOracle:
         assert np.isfinite(got).all()
         want = frontend_ref.mfcc_fixed_length_ref(np.zeros(22050), 44)
         np.testing.assert_allclose(got[0], want, atol=2e-3)
+
+
+class TestDftSplitLevels:
+    @pytest.mark.parametrize("levels", [1, 2, 3])
+    def test_split_radix_matches_direct(self, levels, rng):
+        import dataclasses
+
+        cfg = dataclasses.replace(DIGIT, dft_split_levels=levels)
+        waves = (rng.standard_normal((3, 22050)) * 0.1).astype(np.float32)
+        got = np.asarray(mfcc_xla_batch(waves, cfg))
+        want = np.asarray(mfcc_xla_batch(waves, DIGIT))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestFftVariant:
+    def test_fft_matches_oracle(self, rng):
+        from asr_using_robust_nn_tpu.ops.mfcc_xla import mfcc_fft_batch
+
+        waves = (rng.standard_normal((3, 22050)) * 0.1).astype(np.float32)
+        got = np.asarray(mfcc_fft_batch(waves, DIGIT))
+        for i in range(3):
+            want = frontend_ref.mfcc_fixed_length_ref(waves[i], 44)
+            np.testing.assert_allclose(got[i], want, atol=2e-3, rtol=1e-4)

@@ -217,3 +217,44 @@ class TestTrainer:
         want = km(x, training=False).numpy()
         got = np.asarray(predict_probs(cfg, p2, s2, x))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestDeviceResident:
+    def test_epoch_scan_matches_streaming_semantics(self, rng):
+        """device_resident=True trains to the same quality as the streaming
+        loop (same data, same recipe; batch composition differs only by the
+        shuffle implementation)."""
+        x, y = synthetic_task(rng, n=512)
+        cfg = small_cfg()
+        tcfg = dict(batch_size=64, epochs=25, patience=50, seed=0)
+        res_s = Trainer(cfg, TrainConfig(**tcfg)).fit(
+            x[:384], y[:384], x[384:], y[384:]
+        )
+        res_d = Trainer(cfg, TrainConfig(device_resident=True, **tcfg)).fit(
+            x[:384], y[:384], x[384:], y[384:]
+        )
+        assert res_d["history"]["val_acc"][-1] > 0.85
+        assert abs(res_d["history"]["val_acc"][-1]
+                   - res_s["history"]["val_acc"][-1]) < 0.1
+
+    def test_epoch_scan_ragged_and_constraint(self, rng):
+        from asr_using_robust_nn_tpu.constraints import make_simple_norm_constraint
+        from asr_using_robust_nn_tpu.models.mlp import dense_kernels, init_mlp
+
+        x, y = synthetic_task(rng, n=300)  # 250 train -> ragged with bs=64
+        cfg = small_cfg(nonneg=True)
+        con = make_simple_norm_constraint(0.5, n_iter=32)
+        p0, _ = init_mlp(cfg, jax.random.PRNGKey(0))
+        tr = Trainer(
+            cfg,
+            TrainConfig(batch_size=64, epochs=3, patience=50,
+                        device_resident=True),
+            constraint=con.apply, constraint_state=con.init(p0),
+        )
+        res = tr.fit(x[:250], y[:250], x[250:], y[250:])
+        assert np.isfinite(res["history"]["loss"]).all()
+        ws = [np.asarray(w) for w in dense_kernels(res["params"])]
+        prod = None
+        for w in reversed(ws):
+            prod = w.T if prod is None else prod @ w.T
+        assert np.linalg.norm(prod, ord=2) <= 0.55
