@@ -62,6 +62,10 @@ def _add_train(sub):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-parallel", action="store_true",
                    help="train over all visible devices (1-D data mesh)")
+    p.add_argument("--device-resident", action="store_true",
+                   help="keep the whole split in HBM and run each epoch as "
+                        "one fused XLA program (fastest on TPU; "
+                        "train/epoch_scan.py)")
     p.add_argument("--no-standardize", action="store_true")
     p.add_argument("--log-every", type=int, default=1)
     p.add_argument("--monitor-lipschitz", action="store_true")
@@ -221,7 +225,9 @@ def cmd_train(args):
         constraint, cstate = con.apply, con.init(p0)
 
     tcfg = TrainConfig(batch_size=batch, epochs=args.epochs, patience=patience,
-                       seed=args.seed, log_every=args.log_every)
+                       seed=args.seed, log_every=args.log_every,
+                       device_resident=bool(getattr(args, "device_resident",
+                                                    False)))
     callbacks = ()
     if args.monitor_lipschitz:
         callbacks = (lipschitz_monitor(cfg),)

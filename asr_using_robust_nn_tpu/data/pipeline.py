@@ -105,11 +105,15 @@ def featurize_files(
     batch (rounded to 1 s multiples to bound recompiles); per-file true
     lengths feed the kernel's masking so results equal per-file processing.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..frontend.mfcc import Frontend
 
     fe = Frontend(cfg, backend=backend)
     out = np.zeros((len(filenames), cfg.feature_dim), dtype=np.float64)
-    for start in range(0, len(filenames), batch_size):
+    starts = list(range(0, len(filenames), batch_size))
+
+    def decode(start):
         chunk = list(filenames[start : start + batch_size])
         waves = native.decode_resample_batch(chunk, cfg.sr)
         lengths = np.array([len(w) for w in waves], dtype=np.int64)
@@ -120,10 +124,17 @@ def featurize_files(
         batch = np.zeros((len(waves), cap), dtype=np.float32)
         for i, w in enumerate(waves):
             batch[i, : min(len(w), cap)] = w[:cap]
-        feats = fe(batch, lengths=np.minimum(lengths, cap))
-        out[start : start + len(chunk)] = np.asarray(feats).reshape(
-            len(chunk), -1
-        )
+        return start, len(chunk), batch, np.minimum(lengths, cap)
+
+    # pipeline: host decodes chunk k+1 while the device featurizes chunk k
+    with ThreadPoolExecutor(max_workers=1) as prefetcher:
+        pending = prefetcher.submit(decode, starts[0]) if starts else None
+        for idx in range(len(starts)):
+            start, n, batch, lengths = pending.result()
+            if idx + 1 < len(starts):
+                pending = prefetcher.submit(decode, starts[idx + 1])
+            feats = fe(batch, lengths=lengths)
+            out[start : start + n] = np.asarray(feats).reshape(n, -1)
     return out
 
 
@@ -215,7 +226,12 @@ def save_artifacts(splits: DatasetSplits, out_dir, attack_dir=None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name in ("train", "dev", "test"):
         np.save(os.path.join(out_dir, f"{name}_data.npy"), getattr(splits, f"{name}_data"))
-        np.save(os.path.join(out_dir, f"{name}_label.npy"), getattr(splits, f"{name}_label"))
+        # labels as int32: the dtype the reference artifacts carry (verified
+        # on the committed processed_google_dataset/RoDigits_splitV2 files)
+        np.save(
+            os.path.join(out_dir, f"{name}_label.npy"),
+            np.asarray(getattr(splits, f"{name}_label"), dtype=np.int32),
+        )
     if splits.test_filenames is not None:
         adir = attack_dir or os.path.join(out_dir, "test_dataset_to_add_noise")
         os.makedirs(adir, exist_ok=True)
@@ -235,14 +251,22 @@ def load_artifacts(path) -> DatasetSplits:
         dev_data=L("dev_data.npy"), dev_label=L("dev_label.npy"),
         test_data=L("test_data.npy"), test_label=L("test_label.npy"),
     )
-    adir = os.path.join(path, "test_dataset_to_add_noise")
-    if os.path.exists(os.path.join(adir, "test_filenames.npy")):
-        splits.test_filenames = np.load(
-            os.path.join(adir, "test_filenames.npy"), allow_pickle=False
-        )
-        splits.test_audio_label = np.load(
-            os.path.join(adir, "test_label.npy"), allow_pickle=False
-        )
+    for sub in ("test_dataset_to_add_noise", "test_dataset_to_add_noiseV2"):
+        adir = os.path.join(path, sub)
+        if os.path.exists(os.path.join(adir, "test_filenames.npy")):
+            names = np.load(
+                os.path.join(adir, "test_filenames.npy"), allow_pickle=False
+            )
+            # reference artifacts carry Windows '\\' separators
+            # (`VD/extract_features_construct_dataset.py:219-220`); normalize
+            # so the audio-attack paths resolve on any OS
+            splits.test_filenames = np.asarray(
+                [str(n).replace("\\", os.sep) for n in names]
+            )
+            splits.test_audio_label = np.load(
+                os.path.join(adir, "test_label.npy"), allow_pickle=False
+            )
+            break
     return splits
 
 

@@ -20,8 +20,6 @@ used by the test harness.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.mlp import MLPConfig, apply_mlp
-from ..train.trainer import TrainConfig, Trainer, cce_from_logits, _nonneg_clamp
+from ..train.trainer import Trainer, _nonneg_clamp
 from .mesh import DATA_AXIS, pad_to_multiple, replicated, sharded_batch
 
 __all__ = ["DataParallelTrainer", "psum_train_step"]

@@ -16,9 +16,37 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["data_mesh", "replicated", "sharded_batch", "DATA_AXIS"]
+__all__ = [
+    "data_mesh", "replicated", "sharded_batch", "DATA_AXIS",
+    "maybe_init_distributed",
+]
 
 DATA_AXIS = "data"
+
+
+def maybe_init_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Optional multi-host setup over DCN (SURVEY.md §2.4): call once per
+    process before any jax op on a multi-host slice; no-op (False) when the
+    environment provides no coordinator (single-host, the common case).
+    After this, jax.devices() spans all hosts and the same 1-D data mesh
+    code scales across them — collectives ride ICI within a slice and DCN
+    between slices, all inserted by XLA."""
+    import os
+
+    import jax
+
+    coord = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=num_processes
+        or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+    return True
 
 
 def data_mesh(n_devices: int | None = None, devices=None) -> Mesh:
