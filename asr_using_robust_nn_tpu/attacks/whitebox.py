@@ -172,6 +172,7 @@ def carlini_l2(
     w0 = jnp.arctanh((x_c - mid) / (span + 1e-9) * 0.999999)
 
     def attack_at_c(c):
+        # c: (B,) per-sample constant
         opt = optax.adam(learning_rate)
 
         def to_x(w):
@@ -211,7 +212,7 @@ def carlini_l2(
     best_overall = x
     found = jnp.zeros((x.shape[0],), bool)
     for _ in range(binary_search_steps):
-        xa, success = attack_at_c(c[:, None])
+        xa, success = attack_at_c(c)
         best_overall = jnp.where(
             (success & ~found)[:, None]
             | (
