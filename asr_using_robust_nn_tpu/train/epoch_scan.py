@@ -72,13 +72,19 @@ def _masked_forward_loss(model_cfg, params, state, x, y, w, rng):
 
 
 def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
-                   batch_size: int = 256, shuffle: bool = True):
+                   batch_size: int = 256, shuffle: bool = True, mesh=None):
     """-> jitted epoch(params, state, opt_state, cstate, data, labels, key)
     returning (params, state, opt_state, cstate, mean_loss, mean_acc).
 
     `data`/`labels` are full device-resident arrays, padded by the caller to
     a multiple of batch_size with a trailing `weights` mask baked in via
     `n_true` (static).
+
+    With `mesh` (a 1-D data mesh), the split is sharded across devices on
+    its leading dim and the epoch program runs SPMD: the per-epoch shuffle
+    gather becomes an XLA all-to-all, per-step gradients all-reduce over
+    ICI, and BatchNorm batch moments span the global batch — one fused
+    multi-chip epoch per dispatch.
     """
 
     def epoch(params, state, opt_state, cstate, data, labels, key, n_true):
@@ -124,13 +130,26 @@ def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
         mean_acc = jnp.sum(accs * ns) / total
         return params, state, opt_state, cstate, mean_loss, mean_acc
 
-    return jax.jit(epoch, static_argnames=("n_true",),
-                   donate_argnums=(0, 1, 2, 3))
+    if mesh is None:
+        return jax.jit(epoch, static_argnames=("n_true",),
+                       donate_argnums=(0, 1, 2, 3))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    row_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.jit(
+        epoch,
+        static_argnames=("n_true",),
+        in_shardings=(repl, repl, repl, repl, row_sh, row_sh, repl),
+        out_shardings=(repl, repl, repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2, 3),
+    )
 
 
-def build_eval_fn(model_cfg: MLPConfig, batch_size: int = 1024):
+def build_eval_fn(model_cfg: MLPConfig, batch_size: int = 1024, mesh=None):
     """-> jitted evaluate(params, state, data, labels, n_true) -> (loss, acc)
-    over a padded device-resident eval split (single fused scan)."""
+    over a padded device-resident eval split (single fused scan); SPMD over
+    `mesh` when given."""
 
     def evaluate(params, state, data, labels, n_true):
         n_pad = data.shape[0]
@@ -153,4 +172,15 @@ def build_eval_fn(model_cfg: MLPConfig, batch_size: int = 1024):
         n = jnp.sum(ns)
         return jnp.sum(losses) / n, jnp.sum(hits) / n
 
-    return jax.jit(evaluate, static_argnames=("n_true",))
+    if mesh is None:
+        return jax.jit(evaluate, static_argnames=("n_true",))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    row_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.jit(
+        evaluate,
+        static_argnames=("n_true",),
+        in_shardings=(repl, repl, row_sh, row_sh),
+        out_shardings=(repl, repl),
+    )

@@ -202,28 +202,41 @@ class Trainer:
         if cfg.device_resident:
             from .epoch_scan import build_epoch_fn, build_eval_fn
 
+            mesh = getattr(self, "mesh", None)
+            row_sharding = None
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                n_dev = mesh.devices.size
+                if cfg.batch_size % n_dev:
+                    raise ValueError(
+                        f"device_resident over a {n_dev}-device mesh needs "
+                        f"batch_size divisible by it (got {cfg.batch_size})"
+                    )
+                row_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+            def put(arr):
+                return (jax.device_put(arr, row_sharding)
+                        if row_sharding is not None else jax.device_put(arr))
+
             bs = cfg.batch_size
             n_true = len(train_x)
             n_pad = -(-n_true // bs) * bs
-            d_train = jax.device_put(
-                np.pad(train_x, ((0, n_pad - n_true), (0, 0)))
-            )
-            l_train = jax.device_put(
-                np.pad(train_y, (0, n_pad - n_true)).astype(np.int32)
-            )
+            d_train = put(np.pad(train_x, ((0, n_pad - n_true), (0, 0))))
+            l_train = put(np.pad(train_y, (0, n_pad - n_true)).astype(np.int32))
             vx = np.asarray(val_x, np.float32)
             vy = np.asarray(val_y, np.int32)
             vb = 1024 if len(vx) >= 1024 else max(8, len(vx))
+            if mesh is not None:
+                vb = -(-vb // mesh.devices.size) * mesh.devices.size
             v_pad = -(-len(vx) // vb) * vb
-            d_val = jax.device_put(np.pad(vx, ((0, v_pad - len(vx)), (0, 0))))
-            l_val = jax.device_put(
-                np.pad(vy, (0, v_pad - len(vx))).astype(np.int32)
-            )
+            d_val = put(np.pad(vx, ((0, v_pad - len(vx)), (0, 0))))
+            l_val = put(np.pad(vy, (0, v_pad - len(vx))).astype(np.int32))
             epoch_fn = build_epoch_fn(
                 self.model_cfg, self.optimizer, self.constraint,
-                batch_size=bs, shuffle=cfg.shuffle,
+                batch_size=bs, shuffle=cfg.shuffle, mesh=mesh,
             )
-            eval_fn = build_eval_fn(self.model_cfg, batch_size=vb)
+            eval_fn = build_eval_fn(self.model_cfg, batch_size=vb, mesh=mesh)
             dr = (epoch_fn, eval_fn, d_train, l_train, n_true,
                   d_val, l_val, len(vx))
 

@@ -125,3 +125,29 @@ class TestPsumVariant:
         mesh = data_mesh()
         with pytest.raises(ValueError):
             psum_train_step(cfg(batch_norm=True), adam_optimizer(), mesh)
+
+
+class TestDeviceResidentDP:
+    def test_sharded_epoch_scan(self, rng):
+        """device_resident + mesh: one fused SPMD epoch program; quality
+        matches the single-device device-resident run."""
+        x, y = task(rng, n=512)
+        c = cfg()
+        tcfg = dict(batch_size=64, epochs=15, patience=50, seed=0)
+        single = Trainer(c, TrainConfig(device_resident=True, **tcfg))
+        res_s = single.fit(x[:384], y[:384], x[384:], y[384:])
+        dp = DataParallelTrainer(
+            c, data_mesh(), TrainConfig(device_resident=True, **tcfg)
+        )
+        res_p = dp.fit(x[:384], y[:384], x[384:], y[384:])
+        assert res_p["history"]["val_acc"][-1] > 0.85
+        assert abs(res_p["history"]["val_acc"][-1]
+                   - res_s["history"]["val_acc"][-1]) < 0.1
+
+    def test_indivisible_batch_rejected(self, rng):
+        x, y = task(rng, n=64)
+        with pytest.raises(ValueError):
+            DataParallelTrainer(
+                cfg(), data_mesh(),
+                TrainConfig(batch_size=50, epochs=1, device_resident=True),
+            ).fit(x[:48], y[:48], x[48:], y[48:])
