@@ -138,13 +138,17 @@ def model_cfg_for(task: str, variant: str):
 
 def load_model(path, cfg):
     """Load params/state from an Orbax ckpt dir or a Keras-layout .h5."""
-    import jax
-
-    from ..models.mlp import init_mlp
     from ..train.checkpoints import CheckpointManager, import_keras_h5
 
     if str(path).endswith(".h5"):
+        if not os.path.exists(path):
+            raise SystemExit(f"error: checkpoint file {path!r} not found")
         return import_keras_h5(path, cfg)
+    if not os.path.exists(os.path.join(str(path), "best")):
+        raise SystemExit(
+            f"error: no checkpoint at {path!r} (expected an Orbax dir with "
+            f"'best/' written by `asrtpu train --ckpt {path}` or a .h5 file)"
+        )
     tree, _ = CheckpointManager(path).load_best()  # no example: raw restore
     return tree["params"], tree["state"]
 
@@ -152,8 +156,16 @@ def load_model(path, cfg):
 def cmd_prepare(args):
     from ..data import build_dataset
 
+    if not os.path.isdir(args.data_dir):
+        print(f"error: --data-dir {args.data_dir!r} does not exist",
+              file=sys.stderr)
+        return 2
     splits = build_dataset(args.data_dir, args.task, out_dir=args.out_dir,
                            seed=args.seed, backend=args.backend)
+    if len(splits.train_data) == 0:
+        print(f"error: no audio found under {args.data_dir!r} "
+              f"(expected <dir>/<class>/*.wav)", file=sys.stderr)
+        return 2
     print(json.dumps({
         "train": list(splits.train_data.shape),
         "dev": list(splits.dev_data.shape),
@@ -198,6 +210,10 @@ def cmd_train(args):
     from ..models.mlp import init_mlp
     from ..train import TrainConfig, Trainer
 
+    if not os.path.exists(os.path.join(args.data, "train_data.npy")):
+        print(f"error: {args.data!r} has no train_data.npy — run "
+              f"`asrtpu prepare-data` first", file=sys.stderr)
+        return 2
     d = load_artifacts(args.data)
     if args.no_standardize:
         tr, dv, te = d.train_data, d.dev_data, d.test_data
@@ -278,6 +294,10 @@ def cmd_attack(args):
     from ..ops.mfcc_xla import FrontendConfig
     from ..utils import native
 
+    if not os.path.exists(os.path.join(args.data, "train_data.npy")):
+        print(f"error: {args.data!r} has no train_data.npy — run "
+              f"`asrtpu prepare-data` first", file=sys.stderr)
+        return 2
     d = load_artifacts(args.data)
     cfg_c = model_cfg_for(args.task, "constrained")
     cfg_u = model_cfg_for(args.task, "unconstrained")
@@ -395,6 +415,10 @@ def cmd_evaluate(args):
     from ..models.mlp import apply_mlp
     from ..train import TrainConfig, Trainer
 
+    if not os.path.exists(os.path.join(args.data, "train_data.npy")):
+        print(f"error: {args.data!r} has no train_data.npy — run "
+              f"`asrtpu prepare-data` first", file=sys.stderr)
+        return 2
     d = load_artifacts(args.data)
     if args.no_standardize:
         te = d.test_data

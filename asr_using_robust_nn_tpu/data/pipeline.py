@@ -116,12 +116,15 @@ def featurize_files(
     def decode(start):
         chunk = list(filenames[start : start + batch_size])
         waves = native.decode_resample_batch(chunk, cfg.sr)
-        lengths = np.array([len(w) for w in waves], dtype=np.int64)
+        lengths = np.zeros((batch_size,), dtype=np.int64)
+        lengths[: len(waves)] = [len(w) for w in waves]
         cap = max(int(lengths.max()), cfg.sr)
         if max_samples is not None:
             cap = min(cap, max_samples)
-        cap = -(-cap // cfg.sr) * cfg.sr  # round to 1 s to bound recompiles
-        batch = np.zeros((len(waves), cap), dtype=np.float32)
+        cap = -(-cap // cfg.sr) * cfg.sr  # round to 1 s multiples
+        # fixed (batch_size, cap) shape: ragged tails are padded with zero
+        # rows so the featurizer compiles once per cap, not per chunk size
+        batch = np.zeros((batch_size, cap), dtype=np.float32)
         for i, w in enumerate(waves):
             batch[i, : min(len(w), cap)] = w[:cap]
         return start, len(chunk), batch, np.minimum(lengths, cap)
@@ -134,7 +137,7 @@ def featurize_files(
             if idx + 1 < len(starts):
                 pending = prefetcher.submit(decode, starts[idx + 1])
             feats = fe(batch, lengths=lengths)
-            out[start : start + n] = np.asarray(feats).reshape(n, -1)
+            out[start : start + n] = np.asarray(feats)[:n].reshape(n, -1)
     return out
 
 
@@ -165,9 +168,10 @@ def featurize_sliced_files(
     feats = np.zeros((len(allw), cfg.feature_dim), dtype=np.float64)
     for start in range(0, len(allw), batch_size):
         chunk = allw[start : start + batch_size]
-        feats[start : start + len(chunk)] = np.asarray(fe(chunk)).reshape(
-            len(chunk), -1
-        )
+        n = len(chunk)
+        if n < batch_size:  # pad to one fixed compile shape
+            chunk = np.pad(chunk, ((0, batch_size - n), (0, 0)))
+        feats[start : start + n] = np.asarray(fe(chunk))[:n].reshape(n, -1)
     return feats, np.asarray(out_labels, dtype=np.int64)
 
 

@@ -152,3 +152,17 @@ class TestCLI:
             "--ckpt", str(corpus / "ck_conf"), "--log-every", "0",
         ])
         assert rc == 0
+
+    def test_friendly_errors(self, tmp_path, capsys):
+        rc = main(["prepare-data", "--task", "digit",
+                   "--data-dir", str(tmp_path / "nope"),
+                   "--out-dir", str(tmp_path / "o")])
+        assert rc == 2
+        assert "does not exist" in capsys.readouterr().err
+        rc = main(["train", "--task", "digit", "--data", str(tmp_path),
+                   "--ckpt", str(tmp_path / "ck")])
+        assert rc == 2
+        assert "prepare-data" in capsys.readouterr().err
+        rc = main(["evaluate", "--task", "digit",
+                   "--data", str(tmp_path), "--ckpt", str(tmp_path / "missing")])
+        assert rc == 2  # artifacts missing caught before checkpoint
