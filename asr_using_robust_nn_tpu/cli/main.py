@@ -334,6 +334,13 @@ def cmd_attack(args):
     strengths = None
     if args.strengths:
         strengths = [float(s) for s in args.strengths.split(",")]
+    elif args.type == "fgsm" and not std_before:
+        # reference grid switch: attacks on raw (un-standardized) MFCCs use
+        # eps = linspace(1, 30, 50) instead of linspace(0.01, 0.3, 10)
+        # (`Voice digit recogniton/attacks.py:497-499`)
+        from ..attacks.sweeps import GRIDS
+
+        strengths = list(GRIDS["fgsm_eps_std"])
 
     audio_attacks = {"white_audio", "mixture_audio", "snr_audio"}
     if args.type in audio_attacks:

@@ -95,6 +95,7 @@ def featurize_files(
     batch_size: int = 256,
     backend: str = "auto",
     max_samples: int | None = None,
+    device_resample: bool = False,
 ) -> np.ndarray:
     """Decode+resample on host threads, MFCC on device in batches.
 
@@ -113,6 +114,27 @@ def featurize_files(
     out = np.zeros((len(filenames), cfg.feature_dim), dtype=np.float64)
     starts = list(range(0, len(filenames), batch_size))
 
+    def decode_native_rate(start):
+        """device_resample path: decode only; resampling runs on device
+        (ops/resample.py) when every file in the chunk shares one rate."""
+        chunk = list(filenames[start : start + batch_size])
+        pairs = native.decode_only_batch(chunk)
+        srs = {sr for _, sr in pairs}
+        if len(srs) != 1:
+            return None  # mixed rates in chunk -> host path
+        (src_sr,) = srs
+        waves = [w for w, _ in pairs]
+        raw_lengths = np.array([len(w) for w in waves], dtype=np.int64)
+        cap_src = -(-max(int(raw_lengths.max()), src_sr) // src_sr) * src_sr
+        batch = np.zeros((batch_size, cap_src), dtype=np.float32)
+        for i, w in enumerate(waves):
+            batch[i, : min(len(w), cap_src)] = w[:cap_src]
+        g = np.gcd(src_sr, cfg.sr)
+        up, down = cfg.sr // g, src_sr // g
+        lengths = np.zeros((batch_size,), dtype=np.int64)
+        lengths[: len(waves)] = -(-np.minimum(raw_lengths, cap_src) * up // down)
+        return start, len(chunk), batch, lengths, src_sr
+
     def decode(start):
         chunk = list(filenames[start : start + batch_size])
         waves = native.decode_resample_batch(chunk, cfg.sr)
@@ -129,13 +151,24 @@ def featurize_files(
             batch[i, : min(len(w), cap)] = w[:cap]
         return start, len(chunk), batch, np.minimum(lengths, cap)
 
+    def job(start):
+        if device_resample:
+            got = decode_native_rate(start)
+            if got is not None:
+                return got
+        return decode(start) + (cfg.sr,)
+
     # pipeline: host decodes chunk k+1 while the device featurizes chunk k
     with ThreadPoolExecutor(max_workers=1) as prefetcher:
-        pending = prefetcher.submit(decode, starts[0]) if starts else None
+        pending = prefetcher.submit(job, starts[0]) if starts else None
         for idx in range(len(starts)):
-            start, n, batch, lengths = pending.result()
+            start, n, batch, lengths, src_sr = pending.result()
             if idx + 1 < len(starts):
-                pending = prefetcher.submit(decode, starts[idx + 1])
+                pending = prefetcher.submit(job, starts[idx + 1])
+            if src_sr != cfg.sr:
+                from ..ops.resample import resample_batch_device
+
+                batch = resample_batch_device(batch, src_sr, cfg.sr)
             feats = fe(batch, lengths=lengths)
             out[start : start + n] = np.asarray(feats)[:n].reshape(n, -1)
     return out

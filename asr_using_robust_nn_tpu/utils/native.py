@@ -128,6 +128,46 @@ def decode_resample(path, target_sr: int = 22050) -> np.ndarray | None:
     return out[:wrote]
 
 
+def decode_only(path) -> tuple[np.ndarray, int] | None:
+    """Decode one WAV to mono float32 at its NATIVE rate (no resampling) —
+    feeds the on-device polyphase resampler (ops/resample.py). None on
+    native-path failure (caller falls back to audio_io.read_wav)."""
+    lib = _load()
+    if lib is None:
+        return None
+    path_b = os.fsencode(path)
+    sr = ctypes.c_int(0)
+    n = ctypes.c_int64(0)
+    if lib.asr_wav_info(path_b, ctypes.byref(sr), ctypes.byref(n)) != 0:
+        return None
+    mono = np.empty(n.value, dtype=np.float32)
+    got = lib.asr_wav_decode(
+        path_b,
+        mono.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n.value,
+        ctypes.byref(sr),
+    )
+    if got < 0:
+        return None
+    return mono[:got], sr.value
+
+
+def decode_only_batch(paths, max_workers: int | None = None):
+    """Threaded decode at native rates -> list of (mono float32, sr)."""
+
+    def fn(p):
+        out = decode_only(p)
+        if out is None:
+            ch, sr = audio_io.read_wav(p)
+            mono = ch.mean(axis=0) if ch.shape[0] > 1 else ch[0]
+            return mono, sr
+        return out
+
+    workers = max_workers or min(32, (os.cpu_count() or 4))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(fn, paths))
+
+
 def decode_resample_batch(
     paths, target_sr: int = 22050, max_workers: int | None = None
 ) -> list[np.ndarray]:

@@ -167,3 +167,24 @@ class TestEndToEnd:
         # 7 train files x ~2-3 windows each (resampled 4 s @22.05k -> 5.5 s)
         assert splits.train_data.shape[0] >= 14
         assert len(splits.train_label) == len(splits.train_data)
+
+
+class TestDeviceResample:
+    def test_device_resampler_matches_host(self, rng):
+        from asr_using_robust_nn_tpu.ops.resample import resample_batch_device
+        from asr_using_robust_nn_tpu.utils import audio_io
+
+        x = (rng.standard_normal((2, 16000)) * 0.3).astype(np.float32)
+        want = np.stack([audio_io.resample(xi, 16000, 22050) for xi in x])
+        got = np.asarray(resample_batch_device(x, 16000, 22050))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_featurize_device_resample_matches_host_path(self, digit_corpus):
+        from asr_using_robust_nn_tpu.data.pipeline import featurize_files
+        from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig
+
+        files, _, _ = walk_corpus(digit_corpus, DIGIT_WORDS)
+        cfg = FrontendConfig.digit()
+        host = featurize_files(files, cfg, backend="xla")
+        dev = featurize_files(files, cfg, backend="xla", device_resample=True)
+        np.testing.assert_allclose(dev, host, atol=5e-3, rtol=1e-3)
