@@ -72,7 +72,8 @@ def _masked_forward_loss(model_cfg, params, state, x, y, w, rng):
 
 
 def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
-                   batch_size: int = 256, shuffle: bool = True, mesh=None):
+                   batch_size: int = 256, shuffle: bool = True, mesh=None,
+                   epochs_per_call: int = 1, reshuffle_inner: bool = True):
     """-> jitted epoch(params, state, opt_state, cstate, data, labels, key)
     returning (params, state, opt_state, cstate, mean_loss, mean_acc).
 
@@ -85,9 +86,14 @@ def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
     gather becomes an XLA all-to-all, per-step gradients all-reduce over
     ICI, and BatchNorm batch moments span the global batch — one fused
     multi-chip epoch per dispatch.
+
+    `epochs_per_call` > 1 wraps the epoch in an outer fori_loop so E epochs
+    run per dispatch — the host round-trip (27 ms over the dev tunnel)
+    amortizes across E; reported loss/acc are from the final epoch of the
+    chunk. Each inner epoch folds its own shuffle key.
     """
 
-    def epoch(params, state, opt_state, cstate, data, labels, key, n_true):
+    def one_epoch(params, state, opt_state, cstate, data, labels, key, n_true):
         n_pad = data.shape[0]
         n_batches = n_pad // batch_size
         perm_key, drop_key = jax.random.split(key)
@@ -129,6 +135,21 @@ def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
         mean_loss = jnp.sum(losses * ns) / total
         mean_acc = jnp.sum(accs * ns) / total
         return params, state, opt_state, cstate, mean_loss, mean_acc
+
+    if epochs_per_call == 1:
+        epoch = one_epoch
+    else:
+
+        def epoch(params, state, opt_state, cstate, data, labels, key, n_true):
+            def body(e, carry):
+                params, state, opt_state, cstate, _, _ = carry
+                ek = jax.random.fold_in(key, e) if reshuffle_inner else key
+                return one_epoch(params, state, opt_state, cstate, data,
+                                 labels, ek, n_true)
+
+            init = (params, state, opt_state, cstate, jnp.float32(0),
+                    jnp.float32(0))
+            return jax.lax.fori_loop(0, epochs_per_call, body, init)
 
     if mesh is None:
         return jax.jit(epoch, static_argnames=("n_true",),

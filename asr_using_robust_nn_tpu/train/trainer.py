@@ -41,6 +41,9 @@ class TrainConfig:
     device_resident: bool = False  # keep the whole split in HBM and run each
     # epoch as ONE jitted lax.scan (train/epoch_scan.py) — the TPU-native
     # fast path; host<->device traffic drops to scalar metrics per epoch
+    epochs_per_dispatch: int = 1  # device-resident only: fuse E epochs into
+    # one XLA dispatch (amortizes the host round-trip); history/early-stop
+    # granularity coarsens to E epochs
 
 
 def adam_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
@@ -235,6 +238,8 @@ class Trainer:
             epoch_fn = build_epoch_fn(
                 self.model_cfg, self.optimizer, self.constraint,
                 batch_size=bs, shuffle=cfg.shuffle, mesh=mesh,
+                epochs_per_call=cfg.epochs_per_dispatch,
+                reshuffle_inner=cfg.reshuffle_each_epoch,
             )
             eval_fn = build_eval_fn(self.model_cfg, batch_size=vb, mesh=mesh)
             dr = (epoch_fn, eval_fn, d_train, l_train, n_true,
@@ -242,19 +247,22 @@ class Trainer:
 
         t0 = time.perf_counter()
         steps = 0
-        for epoch in range(cfg.epochs):
+        ep_stride = cfg.epochs_per_dispatch if (dr is not None) else 1
+        for epoch in range(0, cfg.epochs, ep_stride):
             if dr is not None:
                 (epoch_fn, eval_fn, d_train, l_train, n_true,
                  d_val, l_val, n_val) = dr
                 ek = jax.random.fold_in(
                     key, epoch if cfg.reshuffle_each_epoch else 0
                 )
+                # with epochs_per_dispatch>1 each inner epoch folds its own
+                # subkey from ek when reshuffling
                 params, state, opt_state, cstate, mloss, macc = epoch_fn(
                     params, state, opt_state, cstate, d_train, l_train, ek,
                     n_true,
                 )
                 ep_loss, ep_acc, ep_n = float(mloss), float(macc), 1.0
-                steps += -(-n_true // cfg.batch_size)
+                steps += -(-n_true // cfg.batch_size) * ep_stride
                 vl, va = eval_fn(params, state, d_val, l_val, n_val)
                 val_loss, val_acc = float(vl), float(va)
             else:

@@ -258,3 +258,15 @@ class TestDeviceResident:
         for w in reversed(ws):
             prod = w.T if prod is None else prod @ w.T
         assert np.linalg.norm(prod, ord=2) <= 0.55
+
+    def test_epochs_per_dispatch(self, rng):
+        x, y = synthetic_task(rng, n=256)
+        cfg = small_cfg()
+        tr = Trainer(cfg, TrainConfig(batch_size=64, epochs=40, patience=100,
+                                      seed=0, device_resident=True,
+                                      epochs_per_dispatch=8))
+        res = tr.fit(x[:192], y[:192], x[192:], y[192:])
+        # 40 epochs in 5 dispatches -> 5 history entries, 40 epochs of steps
+        assert len(res["history"]["loss"]) == 5
+        assert res["steps"] == 40 * 3  # 192/64 = 3 steps/epoch
+        assert res["history"]["val_acc"][-1] > 0.8
