@@ -90,13 +90,16 @@ def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
     `epochs_per_call` > 1 wraps the epoch in an outer fori_loop so E epochs
     run per dispatch — the host round-trip (27 ms over the dev tunnel)
     amortizes across E; reported loss/acc are from the final epoch of the
-    chunk. Each inner epoch folds its own shuffle key.
+    chunk. The permutation key is frozen across inner epochs when
+    `reshuffle_inner` is False (tf.data reshuffle_each_iteration=False
+    semantics), but the DROPOUT key always advances per epoch — freezing it
+    would train a fixed sub-network.
     """
 
-    def one_epoch(params, state, opt_state, cstate, data, labels, key, n_true):
+    def one_epoch(params, state, opt_state, cstate, data, labels, perm_key,
+                  drop_key, n_true):
         n_pad = data.shape[0]
         n_batches = n_pad // batch_size
-        perm_key, drop_key = jax.random.split(key)
         if shuffle:
             # permute only the true rows; padded tail stays at the end
             perm = jax.random.permutation(perm_key, n_true)
@@ -140,12 +143,15 @@ def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
         epoch = one_epoch
     else:
 
-        def epoch(params, state, opt_state, cstate, data, labels, key, n_true):
+        def epoch(params, state, opt_state, cstate, data, labels, perm_key,
+                  drop_key, n_true):
             def body(e, carry):
                 params, state, opt_state, cstate, _, _ = carry
-                ek = jax.random.fold_in(key, e) if reshuffle_inner else key
+                pk = (jax.random.fold_in(perm_key, e)
+                      if reshuffle_inner else perm_key)
+                dk = jax.random.fold_in(drop_key, e)  # always fresh dropout
                 return one_epoch(params, state, opt_state, cstate, data,
-                                 labels, ek, n_true)
+                                 labels, pk, dk, n_true)
 
             init = (params, state, opt_state, cstate, jnp.float32(0),
                     jnp.float32(0))
@@ -161,7 +167,7 @@ def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
     return jax.jit(
         epoch,
         static_argnames=("n_true",),
-        in_shardings=(repl, repl, repl, repl, row_sh, row_sh, repl),
+        in_shardings=(repl, repl, repl, repl, row_sh, row_sh, repl, repl),
         out_shardings=(repl, repl, repl, repl, repl, repl),
         donate_argnums=(0, 1, 2, 3),
     )

@@ -205,6 +205,11 @@ class Trainer:
         if cfg.device_resident:
             from .epoch_scan import build_epoch_fn, build_eval_fn
 
+            if cfg.epochs_per_dispatch < 1:
+                raise ValueError(
+                    f"TrainConfig.epochs_per_dispatch must be >= 1, got "
+                    f"{cfg.epochs_per_dispatch}"
+                )
             mesh = getattr(self, "mesh", None)
             row_sharding = None
             if mesh is not None:
@@ -235,34 +240,44 @@ class Trainer:
             v_pad = -(-len(vx) // vb) * vb
             d_val = put(np.pad(vx, ((0, v_pad - len(vx)), (0, 0))))
             l_val = put(np.pad(vy, (0, v_pad - len(vx))).astype(np.int32))
-            epoch_fn = build_epoch_fn(
-                self.model_cfg, self.optimizer, self.constraint,
-                batch_size=bs, shuffle=cfg.shuffle, mesh=mesh,
-                epochs_per_call=cfg.epochs_per_dispatch,
-                reshuffle_inner=cfg.reshuffle_each_epoch,
-            )
+            def make_epoch_fn(e_per_call):
+                return build_epoch_fn(
+                    self.model_cfg, self.optimizer, self.constraint,
+                    batch_size=bs, shuffle=cfg.shuffle, mesh=mesh,
+                    epochs_per_call=e_per_call,
+                    reshuffle_inner=cfg.reshuffle_each_epoch,
+                )
+
+            epoch_fns = {cfg.epochs_per_dispatch: make_epoch_fn(
+                cfg.epochs_per_dispatch)}
             eval_fn = build_eval_fn(self.model_cfg, batch_size=vb, mesh=mesh)
-            dr = (epoch_fn, eval_fn, d_train, l_train, n_true,
+            dr = (epoch_fns, make_epoch_fn, eval_fn, d_train, l_train, n_true,
                   d_val, l_val, len(vx))
 
         t0 = time.perf_counter()
         steps = 0
+        epochs_done = 0
         ep_stride = cfg.epochs_per_dispatch if (dr is not None) else 1
+        key_perm, key_drop = jax.random.split(jax.random.fold_in(key, 977))
         for epoch in range(0, cfg.epochs, ep_stride):
             if dr is not None:
-                (epoch_fn, eval_fn, d_train, l_train, n_true,
+                (epoch_fns, make_epoch_fn, eval_fn, d_train, l_train, n_true,
                  d_val, l_val, n_val) = dr
-                ek = jax.random.fold_in(
-                    key, epoch if cfg.reshuffle_each_epoch else 0
+                # clamp the final dispatch so exactly cfg.epochs epochs run
+                this_stride = min(ep_stride, cfg.epochs - epoch)
+                if this_stride not in epoch_fns:
+                    epoch_fns[this_stride] = make_epoch_fn(this_stride)
+                pk = jax.random.fold_in(
+                    key_perm, epoch if cfg.reshuffle_each_epoch else 0
                 )
-                # with epochs_per_dispatch>1 each inner epoch folds its own
-                # subkey from ek when reshuffling
-                params, state, opt_state, cstate, mloss, macc = epoch_fn(
-                    params, state, opt_state, cstate, d_train, l_train, ek,
-                    n_true,
-                )
+                dk = jax.random.fold_in(key_drop, epoch)  # fresh dropout
+                params, state, opt_state, cstate, mloss, macc = epoch_fns[
+                    this_stride
+                ](params, state, opt_state, cstate, d_train, l_train, pk, dk,
+                  n_true)
                 ep_loss, ep_acc, ep_n = float(mloss), float(macc), 1.0
-                steps += -(-n_true // cfg.batch_size) * ep_stride
+                steps += -(-n_true // cfg.batch_size) * this_stride
+                epochs_done += this_stride
                 vl, va = eval_fn(params, state, d_val, l_val, n_val)
                 val_loss, val_acc = float(vl), float(va)
             else:
@@ -279,6 +294,7 @@ class Trainer:
                     ep_acc += float(acc) * len(bidx)
                     ep_n += len(bidx)
                     steps += 1
+                epochs_done += 1
                 val_loss, val_acc = self.evaluate(params, state, val_x, val_y)
             history["loss"].append(ep_loss / ep_n)
             history["acc"].append(ep_acc / ep_n)
@@ -305,7 +321,9 @@ class Trainer:
                 if ckpt is not None:
                     ckpt.save_best(params, state, opt_state, epoch, val_loss)
             else:
-                wait += 1
+                # patience counts EPOCHS (Keras EarlyStopping semantics),
+                # regardless of how many epochs each dispatch fuses
+                wait += ep_stride if dr is not None else 1
                 if wait > cfg.patience:
                     break
         elapsed = time.perf_counter() - t0
@@ -321,7 +339,7 @@ class Trainer:
             "best_state": best[1],
             "best_val_loss": best_val,
             "history": history,
-            "epochs_run": len(history["loss"]),
+            "epochs_run": epochs_done,
             "steps": steps,
             "seconds": elapsed,
             "examples_per_sec": steps * cfg.batch_size / max(elapsed, 1e-9),

@@ -270,3 +270,39 @@ class TestDeviceResident:
         assert len(res["history"]["loss"]) == 5
         assert res["steps"] == 40 * 3  # 192/64 = 3 steps/epoch
         assert res["history"]["val_acc"][-1] > 0.8
+
+    def test_epochs_per_dispatch_tail_and_counts(self, rng):
+        x, y = synthetic_task(rng, n=256)
+        cfg = small_cfg()
+        # 10 epochs in strides of 8 -> dispatches of 8 and 2, exactly 10 run
+        tr = Trainer(cfg, TrainConfig(batch_size=64, epochs=10, patience=100,
+                                      seed=0, device_resident=True,
+                                      epochs_per_dispatch=8))
+        res = tr.fit(x[:192], y[:192], x[192:], y[192:])
+        assert res["epochs_run"] == 10
+        assert res["steps"] == 10 * 3
+
+    def test_epochs_per_dispatch_validation(self, rng):
+        x, y = synthetic_task(rng, n=64)
+        with pytest.raises(ValueError, match="epochs_per_dispatch"):
+            Trainer(small_cfg(), TrainConfig(batch_size=32, epochs=2,
+                                             device_resident=True,
+                                             epochs_per_dispatch=0)).fit(
+                x[:32], y[:32], x[32:], y[32:])
+
+    def test_dropout_varies_across_fused_epochs(self, rng):
+        """Frozen-shuffle mode must still draw fresh dropout per epoch: with
+        repeated masks the fused and streaming runs would diverge sharply."""
+        x, y = synthetic_task(rng, n=256)
+        cfg = small_cfg(dropout=(0.5, 0.5))
+        r1 = Trainer(cfg, TrainConfig(batch_size=64, epochs=16, patience=100,
+                                      seed=0, device_resident=True,
+                                      epochs_per_dispatch=8)).fit(
+            x[:192], y[:192], x[192:], y[192:])
+        r2 = Trainer(cfg, TrainConfig(batch_size=64, epochs=16, patience=100,
+                                      seed=0, device_resident=True,
+                                      epochs_per_dispatch=1)).fit(
+            x[:192], y[:192], x[192:], y[192:])
+        # both train with per-epoch-varying dropout; final val acc comparable
+        assert abs(r1["history"]["val_acc"][-1]
+                   - r2["history"]["val_acc"][-1]) < 0.25
