@@ -50,7 +50,7 @@ def fgsm(logits_fn, x, y, eps: float) -> jnp.ndarray:
     return x + eps * jnp.sign(g)
 
 
-@functools.partial(jax.jit, static_argnames=("logits_fn", "eps", "eps_step", "max_iter"))
+@functools.partial(jax.jit, static_argnames=("logits_fn", "max_iter"))
 def pgd(
     logits_fn,
     x,
@@ -60,7 +60,10 @@ def pgd(
     max_iter: int = 100,
 ) -> jnp.ndarray:
     """Projected gradient descent, L-inf ball of radius eps around x
-    (ART ProjectedGradientDescent defaults, `attacks.py:647-661`)."""
+    (ART ProjectedGradientDescent defaults, `attacks.py:647-661`).
+
+    eps/eps_step are traced (not static): a 50-point eps sweep reuses ONE
+    compiled 100-iteration program instead of compiling 50."""
 
     def body(_, xa):
         g = jax.grad(lambda xx: _ce(logits_fn(xx), y))(xa)

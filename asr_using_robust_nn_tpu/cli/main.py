@@ -334,6 +334,13 @@ def cmd_attack(args):
     strengths = None
     if args.strengths:
         strengths = [float(s) for s in args.strengths.split(",")]
+    elif args.task == "speaker" and args.type in ("snr_audio", "mixture_audio"):
+        from ..attacks.sweeps import GRIDS
+
+        strengths = list(GRIDS[
+            "snrs_db_speaker" if args.type == "snr_audio"
+            else "audio_alphas_speaker"
+        ])
     elif args.type == "fgsm" and not std_before:
         # reference grid switch: attacks on raw (un-standardized) MFCCs use
         # eps = linspace(1, 30, 50) instead of linspace(0.01, 0.3, 10)
