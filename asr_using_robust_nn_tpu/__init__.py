@@ -23,3 +23,8 @@ Layers (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level API (the names a reference user reaches for first).
+from .frontend import Frontend, FrontendConfig  # noqa: E402,F401
+from .models.mlp import MLPConfig  # noqa: E402,F401
+from .train import TrainConfig, Trainer  # noqa: E402,F401
