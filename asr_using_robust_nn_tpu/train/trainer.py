@@ -178,8 +178,13 @@ class Trainer:
         if params is None:
             key, k0 = jax.random.split(key)
             params, state = init_mlp(self.model_cfg, k0)
+        else:
+            # the jitted steps donate their inputs; never donate buffers the
+            # caller still owns (a second fit() would hit deleted arrays)
+            params = jax.tree.map(jnp.array, params)
+            state = jax.tree.map(jnp.array, state)
         opt_state = self.optimizer.init(params)
-        cstate = self.constraint_state
+        cstate = jax.tree.map(jnp.array, self.constraint_state)
 
         train_x = np.asarray(train_x, dtype=np.float32)
         train_y = np.asarray(train_y, dtype=np.int32)

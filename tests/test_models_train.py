@@ -306,3 +306,23 @@ class TestDeviceResident:
         # both train with per-epoch-varying dropout; final val acc comparable
         assert abs(r1["history"]["val_acc"][-1]
                    - r2["history"]["val_acc"][-1]) < 0.25
+
+    def test_fit_twice_same_trainer(self, rng):
+        """Donated buffers must not leak: two fit() calls on one Trainer
+        (incl. a constraint state) work, as does passing params back in."""
+        from asr_using_robust_nn_tpu.constraints import make_simple_norm_constraint
+        from asr_using_robust_nn_tpu.models.mlp import init_mlp
+
+        x, y = synthetic_task(rng, n=128)
+        cfg = small_cfg(nonneg=True)
+        con = make_simple_norm_constraint(0.5, n_iter=8)
+        p0, _ = init_mlp(cfg, jax.random.PRNGKey(0))
+        tr = Trainer(cfg, TrainConfig(batch_size=32, epochs=2, patience=100,
+                                      device_resident=True),
+                     constraint=con.apply, constraint_state=con.init(p0))
+        r1 = tr.fit(x[:96], y[:96], x[96:], y[96:])
+        r2 = tr.fit(x[:96], y[:96], x[96:], y[96:],
+                    params=r1["best_params"], state=r1["best_state"])
+        assert np.isfinite(r2["history"]["loss"]).all()
+        # the params we passed in are still usable afterwards
+        _ = np.asarray(r1["best_params"]["layers"][0]["w"]).sum()
