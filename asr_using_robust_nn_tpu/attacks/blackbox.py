@@ -29,6 +29,7 @@ __all__ = [
     "add_noise_mixture_on_dataset",
     "add_snr_noise_on_dataset",
     "audio_noise_features",
+    "audio_noise_features_sliced",
 ]
 
 
@@ -52,35 +53,58 @@ def add_noise(x: jnp.ndarray, p: float, alpha: float, key) -> jnp.ndarray:
     return x + mixtgauss(x.shape, p, alpha, 10.0 * alpha, key)
 
 
-def add_white_noise_with_snr(audio: jnp.ndarray, target_snr_db: float, key) -> jnp.ndarray:
+def add_white_noise_with_snr(
+    audio: jnp.ndarray, target_snr_db: float, key, length=None
+) -> jnp.ndarray:
     """White noise at a target SNR (dB) relative to mean signal power, k=1
-    (no signal renormalization) (`attacks.py:222-245`). Works on (..., N)."""
-    power = jnp.mean(audio**2, axis=-1, keepdims=True)
+    (no signal renormalization) (`attacks.py:222-245`). Works on (..., N).
+
+    `length` (scalar) marks the true sample count of a zero-padded signal:
+    the power average runs over the real samples only (the reference
+    computes np.mean(sample**2) on the native-length file) and the padded
+    tail stays exactly zero."""
+    if length is None:
+        power = jnp.mean(audio**2, axis=-1, keepdims=True)
+        mask = None
+    else:
+        idx = jnp.arange(audio.shape[-1])
+        mask = (idx < length).astype(audio.dtype)
+        power = jnp.sum((audio * mask) ** 2, axis=-1, keepdims=True) / jnp.maximum(
+            length, 1
+        )
     signal_db = 10.0 * jnp.log10(power)
     noise_watts = 10.0 ** ((signal_db - target_snr_db) / 10.0)
     noise = jnp.sqrt(noise_watts) * jax.random.normal(key, audio.shape, audio.dtype)
+    if mask is not None:
+        noise = noise * mask
     return audio + noise
 
 
-@functools.partial(jax.jit, static_argnames=("sigma",))
+# noise strengths are traced (not static): a 20-30 point sweep reuses one
+# compiled program instead of compiling per point
+@jax.jit
 def add_white_noise_on_dataset(dataset: jnp.ndarray, sigma: float, key) -> jnp.ndarray:
     """White noise directly on MFCC features (`attacks.py:186-201`),
     whole dataset in one fused op."""
     return add_white_noise(jnp.asarray(dataset, jnp.float32), sigma, key)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "alpha"))
+@jax.jit
 def add_noise_mixture_on_dataset(dataset, p: float, alpha: float, key):
     """Mixture noise on MFCC features (`attacks.py:204-219`)."""
     return add_noise(jnp.asarray(dataset, jnp.float32), p, alpha, key)
 
 
-@functools.partial(jax.jit, static_argnames=("target_snr_db",))
-def add_snr_noise_on_dataset(waves, target_snr_db: float, key):
+@jax.jit
+def add_snr_noise_on_dataset(waves, target_snr_db: float, key, lengths=None):
     keys = jax.random.split(key, waves.shape[0])
-    return jax.vmap(lambda w, k: add_white_noise_with_snr(w, target_snr_db, k))(
-        jnp.asarray(waves, jnp.float32), keys
-    )
+    if lengths is None:
+        return jax.vmap(
+            lambda w, k: add_white_noise_with_snr(w, target_snr_db, k)
+        )(jnp.asarray(waves, jnp.float32), keys)
+    return jax.vmap(
+        lambda w, k, l: add_white_noise_with_snr(w, target_snr_db, k, l)
+    )(jnp.asarray(waves, jnp.float32), keys, jnp.asarray(lengths))
 
 
 def audio_noise_features(
@@ -109,9 +133,15 @@ def audio_noise_features(
         keys = jax.random.split(key, waves.shape[0])
         noisy = jax.vmap(lambda w, k: add_noise(w, p, alpha, k))(waves, keys)
     elif snr_db is not None:
-        noisy = add_snr_noise_on_dataset(waves, snr_db, key)
+        noisy = add_snr_noise_on_dataset(waves, snr_db, key, lengths=lengths)
     else:
         noisy = waves
+    if lengths is not None and (sigma != 0.0 or (p != 0.0 and alpha != 0.0)):
+        # keep the padded tail exactly zero: the reference noises the
+        # native-length file, and noise past the true end would leak into
+        # the last valid frames' analysis windows
+        idx = jnp.arange(waves.shape[-1])[None, :]
+        noisy = jnp.where(idx < jnp.asarray(lengths)[:, None], noisy, 0.0)
     fe = Frontend(cfg, backend=backend)
     return np.asarray(fe.flat(noisy, lengths=lengths))
 

@@ -56,9 +56,11 @@ def dolphin_attack(
 def generate_dolphin_wav(voice_path, out_path, **kwargs) -> str:
     """File-to-file variant mirroring the MATLAB script end to end.
 
-    Reads at the file's native rate (MATLAB audioread semantics, :5)."""
+    Reads at the file's native rate (MATLAB audioread semantics, :5); for
+    multi-channel files the FIRST channel is used, matching the script's
+    voice_signal(:,1) at :30."""
     channels, sr = audio_io.read_wav(voice_path)
-    voice = channels.mean(axis=0) if channels.shape[0] > 1 else channels[0]
+    voice = channels[0]
     ultrasound, ultra_rate = dolphin_attack(voice, sr, **kwargs)
     audio_io.write_wav(out_path, ultrasound, ultra_rate)
     return str(out_path)

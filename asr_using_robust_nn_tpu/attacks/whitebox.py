@@ -252,6 +252,7 @@ def carlini_linf(
     span = float(jnp.max(x) - jnp.min(x) + 1e-9)
     tau = initial_tau if initial_tau is not None else span / 10.0
     best = x
+    best_linf = jnp.full((x.shape[0],), jnp.inf)
     found = jnp.zeros((x.shape[0],), bool)
     delta = jnp.zeros_like(x)
     for _ in range(tau_steps):
@@ -274,8 +275,13 @@ def carlini_linf(
         (delta, _), _ = jax.lax.scan(body, (delta, opt_state), None, length=max_iter)
         xa = x + delta
         f = _cw_objective(logits_fn(xa), y, confidence, targeted=False)
-        success = (f <= 0.0) & (jnp.max(jnp.abs(delta), -1) <= tau * 1.01)
-        best = jnp.where((success & ~found)[:, None], xa, best)
+        linf = jnp.max(jnp.abs(delta), -1)
+        success = (f <= 0.0) & (linf <= tau * 1.01)
+        # keep the SMALLEST successful perturbation as tau shrinks (the
+        # whole point of the schedule), not just the first success
+        better = success & (linf < best_linf)
+        best = jnp.where(better[:, None], xa, best)
+        best_linf = jnp.where(better, linf, best_linf)
         found = found | success
         tau *= tau_decrease
     # unfound samples return the final iterate

@@ -43,12 +43,18 @@ def _rdft_power_split(
     into 2^levels phase streams ONCE (stride slices on the (B, L) waveform
     are cheap) and each stream framed independently — strided slicing of the
     (B, T, n_fft) frames tensor instead costs more in relayouts than the
-    matmul savings (measured on v5e). Requires 2^levels | gcd(n_fft, hop).
+    matmul savings (measured on v5e). Requires 2^(levels+1) | n_fft (every
+    intermediate half-length must be even for the conjugate-symmetry
+    mirror) and 2^levels | hop.
 
     Input is the center-padded signal; returns (B, T, 1+n_fft//2).
     """
     p_count = 1 << levels
-    assert n_fft % p_count == 0 and hop % p_count == 0, (n_fft, hop, levels)
+    if n_fft % (p_count * 2) or hop % p_count:
+        raise ValueError(
+            f"dft_split_levels={levels} needs 2^(levels+1) | n_fft and "
+            f"2^levels | hop (got n_fft={n_fft}, hop={hop})"
+        )
     window = filters.pad_center(filters.hann_window(win_length), n_fft)
     n_sub = n_fft // p_count
 
@@ -120,7 +126,7 @@ class FrontendConfig:
     precision: str = "highest"  # MXU precision for the DFT/mel/DCT matmuls
     dft_split_levels: int = 0  # radix-2 DIT stages: each halves DFT matmul
     # FLOPs at identical accuracy (exact f32 butterflies); needs
-    # 2^levels | n_fft, so 0 for the speaker preset (n_fft=441)
+    # 2^(levels+1) | n_fft and 2^levels | hop, so 0 for the speaker preset
 
     @staticmethod
     def digit() -> "FrontendConfig":
@@ -141,7 +147,10 @@ class FrontendConfig:
         return self.n_mfcc * self.utterance_length
 
     def num_frames(self, n_samples: int) -> int:
-        return 1 + n_samples // self.hop_length
+        """librosa-exact centered frame count (see frontend_ref.num_frames)."""
+        return 1 + (
+            n_samples + 2 * (self.n_fft // 2) - self.n_fft
+        ) // self.hop_length
 
     def constants(self, dtype=np.float32):
         """(Cr, Ci, MelW^T, Dct^T) as numpy constants for kernel folding."""
@@ -179,15 +188,23 @@ def frame_signal(ypad: jnp.ndarray, n_frames: int, n_fft: int, hop: int) -> jnp.
     return jnp.concatenate(pieces, axis=-1)
 
 
-def _finish_mfcc(power, cfg, lengths, b, n_frames, mel_t, dct_t, prec):
-    """Shared mel->db->DCT finish with per-utterance masking."""
-    mel = jnp.einsum("btk,km->btm", power, mel_t, precision=prec)
-    log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
+def _valid_frames_mask(cfg, lengths, b, n_frames):
+    """Per-utterance valid-frame mask from true sample lengths, using the
+    librosa-exact frame-count formula (odd-n_fft aware)."""
     if lengths is None:
-        valid = jnp.ones((b, n_frames), dtype=bool)
-    else:
-        frame_ids = jnp.arange(n_frames)[None, :]
-        valid = frame_ids < (1 + lengths[:, None] // cfg.hop_length)
+        return jnp.ones((b, n_frames), dtype=bool)
+    frame_ids = jnp.arange(n_frames)[None, :]
+    true_frames = 1 + (
+        lengths[:, None] + 2 * (cfg.n_fft // 2) - cfg.n_fft
+    ) // cfg.hop_length
+    return frame_ids < true_frames
+
+
+def finish_mfcc_from_mel(mel, cfg, lengths, b, n_frames, dct_t, prec):
+    """Shared db->DCT finish with per-utterance masking (used by the XLA,
+    FFT, and Pallas backends — keep the top_db/mask semantics in ONE place)."""
+    log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
+    valid = _valid_frames_mask(cfg, lengths, b, n_frames)
     masked = jnp.where(valid[..., None], log_spec, -jnp.inf)
     utt_max = jnp.max(masked, axis=(1, 2), keepdims=True)
     db = jnp.maximum(log_spec, utt_max - cfg.top_db)
@@ -199,6 +216,12 @@ def _finish_mfcc(power, cfg, lengths, b, n_frames, mel_t, dct_t, prec):
     else:
         mfcc = jnp.pad(mfcc, ((0, 0), (0, t_out - n_frames), (0, 0)))
     return jnp.swapaxes(mfcc, 1, 2)  # (B, n_mfcc, T) — reference layout
+
+
+def _finish_mfcc(power, cfg, lengths, b, n_frames, mel_t, dct_t, prec):
+    """mel projection + shared finish."""
+    mel = jnp.einsum("btk,km->btm", power, mel_t, precision=prec)
+    return finish_mfcc_from_mel(mel, cfg, lengths, b, n_frames, dct_t, prec)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mfcc_xla import FrontendConfig, frame_signal
+from .mfcc_xla import FrontendConfig, finish_mfcc_from_mel, frame_signal
 
 __all__ = ["mel_power_pallas", "mfcc_pallas_batch"]
 
@@ -168,25 +168,8 @@ def mfcc_pallas_batch(
     mel = mel_power_pallas(
         waves, cfg, row_tile=row_tile, k_tile=k_tile, interpret=interpret
     )
-
-    log_spec = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
-    if lengths is None:
-        valid = jnp.ones((b, n_frames), dtype=bool)
-    else:
-        frame_ids = jnp.arange(n_frames)[None, :]
-        valid = frame_ids < (1 + lengths[:, None] // cfg.hop_length)
-    masked = jnp.where(valid[..., None], log_spec, -jnp.inf)
-    utt_max = jnp.max(masked, axis=(1, 2), keepdims=True)
-    db = jnp.maximum(log_spec, utt_max - cfg.top_db)
-
     _, _, _, dct_t = cfg.constants(np.float32)
     prec = jax.lax.Precision(cfg.precision.lower())
-    mfcc = jnp.einsum("btm,mc->btc", db, jnp.asarray(dct_t), precision=prec)
-    mfcc = jnp.where(valid[..., None], mfcc, 0.0)
-
-    t_out = cfg.utterance_length
-    if n_frames >= t_out:
-        mfcc = mfcc[:, :t_out, :]
-    else:
-        mfcc = jnp.pad(mfcc, ((0, 0), (0, t_out - n_frames), (0, 0)))
-    return jnp.swapaxes(mfcc, 1, 2)
+    return finish_mfcc_from_mel(
+        mel, cfg, lengths, b, n_frames, jnp.asarray(dct_t), prec
+    )

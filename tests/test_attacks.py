@@ -246,3 +246,37 @@ class TestSpeakerSlicedAttack:
             backend="xla",
         )
         assert res.accuracy_constrained.shape == (2,)
+
+
+class TestSnrPaddingParity:
+    def test_snr_power_measured_on_true_length(self):
+        """SNR noise on a zero-padded row must hit the target SNR measured
+        over the TRUE samples, and leave the padded tail exactly zero."""
+        import jax
+
+        rng = np.random.default_rng(0)
+        true = 11025
+        w = np.zeros((1, 22050), np.float32)
+        w[0, :true] = np.sin(2 * np.pi * 440 * np.arange(true) / 22050)
+        noisy = np.asarray(blackbox.add_snr_noise_on_dataset(
+            w, 10.0, jax.random.PRNGKey(0), lengths=np.array([true])
+        ))
+        noise = noisy[0, :true] - w[0, :true]
+        got_snr = 10 * np.log10(np.mean(w[0, :true] ** 2) / np.mean(noise**2))
+        assert abs(got_snr - 10.0) < 0.5
+        assert np.all(noisy[0, true:] == 0.0)
+
+    def test_white_noise_padded_tail_stays_zero(self):
+        import jax
+
+        from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig
+
+        rng = np.random.default_rng(0)
+        true = 11025
+        w = np.zeros((2, 22050), np.float32)
+        w[:, :true] = rng.standard_normal((2, true)) * 0.1
+        feats = blackbox.audio_noise_features(
+            w, FrontendConfig.digit(), jax.random.PRNGKey(0), sigma=0.05,
+            lengths=np.array([true, true]), backend="xla",
+        )
+        assert np.isfinite(feats).all()

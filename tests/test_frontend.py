@@ -173,3 +173,26 @@ class TestFftVariant:
         for i in range(3):
             want = frontend_ref.mfcc_fixed_length_ref(waves[i], 44)
             np.testing.assert_allclose(got[i], want, atol=2e-3, rtol=1e-4)
+
+
+class TestOddNfftFrameCount:
+    def test_speaker_length_divisible_by_hop(self, rng):
+        """Odd n_fft (441) + length divisible by hop (220): librosa yields
+        1 + (n-1)//hop frames, one FEWER than the even-n_fft formula —
+        regression for the off-by-one caught in review."""
+        n = 22000  # divisible by 220
+        assert frontend_ref.num_frames(n, 220, 441) == 100
+        y = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        p = frontend_ref.stft_power_ref(y, 441, 220, 441)
+        assert p.shape[1] == 100
+        # batched kernel agrees: frame 100 is masked out for a padded batch
+        waves = np.zeros((1, 22050), np.float32)
+        waves[0, :n] = y
+        got = np.asarray(
+            mfcc_xla_batch(waves, SPEAKER, lengths=np.array([n]))
+        )
+        want = frontend_ref.mfcc_fixed_length_ref(
+            y, 101, n_fft=441, hop_length=220, win_length=441
+        )
+        np.testing.assert_allclose(got[0], want, atol=2e-3, rtol=1e-4)
+        assert np.all(got[0][:, 100:] == 0)
