@@ -125,11 +125,28 @@ def main():
                                               res["best_state"]))
         norms = np.asarray(get_norms(res["best_params"]))
         upper = float(get_upper_lipschitz(norms))
+        # margin / certified-radius analysis: Lipschitz robustness scales
+        # with margin/(2L); report both so inverted orderings are explainable
+        import jax.numpy as _jnp
+
+        logits, _ = apply_mlp(cfg, res["best_params"], res["best_state"],
+                              _jnp.asarray(te, _jnp.float32), train=False)
+        logits = np.asarray(logits)
+        z_true = logits[np.arange(len(te)), splits.test_label]
+        masked = logits.copy()
+        masked[np.arange(len(te)), splits.test_label] = -np.inf
+        margin = z_true - masked.max(axis=1)
+        med_margin = float(np.median(margin[margin > 0])) if (margin > 0).any() else 0.0
+        cert_radius = med_margin / (2.0 * lip) if lip > 0 else float("inf")
         print(f"{name}: {time.time()-t0:.1f}s, clean acc {acc:.3f}, "
-              f"Lipschitz {lip:.3f} (naive upper {upper:.2f})")
+              f"Lipschitz {lip:.3f} (naive upper {upper:.2f}), "
+              f"median margin {med_margin:.3f}, certified L2 radius "
+              f"margin/(2L) = {cert_radius:.3f}")
         models[name] = dict(cfg=cfg, params=res["best_params"],
                             state=res["best_state"], clean_acc=float(acc),
-                            lipschitz=lip, upper=upper)
+                            lipschitz=lip, upper=upper,
+                            median_margin=med_margin,
+                            certified_radius=cert_radius)
 
     import jax.numpy as jnp
 
@@ -153,6 +170,8 @@ def main():
     results = {
         "clean": {k: models[k]["clean_acc"] for k in models},
         "lipschitz": {k: models[k]["lipschitz"] for k in models},
+        "median_margin": {k: models[k]["median_margin"] for k in models},
+        "certified_radius": {k: models[k]["certified_radius"] for k in models},
         "curves": {},
     }
 
