@@ -43,11 +43,25 @@ def walk_corpus(
         )
     else:
         present = set(os.listdir(data_dir))
-        class_names = [c for c in class_names if c in present]
+        missing = [c for c in class_names if c not in present]
+        if missing:
+            # labels stay the index into the ORIGINAL list so a partial
+            # corpus cannot silently shift class ids (the reference
+            # re-indexes over present folders, VD/...:126-136 — a footgun
+            # we fix; see docs/PARITY.md)
+            import warnings
+
+            warnings.warn(
+                f"class folders missing under {data_dir!r}: {missing}; "
+                f"their labels are reserved, not reassigned", stacklevel=2
+            )
     filenames: list[str] = []
     labels: list[int] = []
     for i, cls in enumerate(class_names):
-        files = sorted(glob(os.path.join(data_dir, cls, "*")))
+        d = os.path.join(data_dir, cls)
+        if not os.path.isdir(d):
+            continue
+        files = sorted(glob(os.path.join(d, "*")))
         files = [f for f in files if f.lower().endswith(tuple(extensions))]
         filenames.extend(files)
         labels.extend([i] * len(files))

@@ -116,16 +116,28 @@ def featurize_files(
 
     def decode_native_rate(start):
         """device_resample path: decode only; resampling runs on device
-        (ops/resample.py) when every file in the chunk shares one rate."""
+        (ops/resample.py) when every file in the chunk shares one rate.
+        Mixed-rate chunks hand their already-decoded audio to the host path
+        (no double decode)."""
         chunk = list(filenames[start : start + batch_size])
         pairs = native.decode_only_batch(chunk)
         srs = {sr for _, sr in pairs}
         if len(srs) != 1:
-            return None  # mixed rates in chunk -> host path
+            from ..utils.audio_io import resample
+
+            waves = [resample(w, sr, cfg.sr) for w, sr in pairs]
+            return decode(start, waves=waves) + (cfg.sr,)
         (src_sr,) = srs
         waves = [w for w, _ in pairs]
         raw_lengths = np.array([len(w) for w in waves], dtype=np.int64)
         cap_src = -(-max(int(raw_lengths.max()), src_sr) // src_sr) * src_sr
+        if max_samples is not None:
+            # max_samples caps the TARGET-rate length; convert to source
+            # rate and round up to whole seconds
+            g0 = np.gcd(src_sr, cfg.sr)
+            up0, down0 = cfg.sr // g0, src_sr // g0
+            src_cap = -(-max_samples * down0 // up0)  # ceil
+            cap_src = min(cap_src, -(-src_cap // src_sr) * src_sr)
         batch = np.zeros((batch_size, cap_src), dtype=np.float32)
         for i, w in enumerate(waves):
             batch[i, : min(len(w), cap_src)] = w[:cap_src]
@@ -135,9 +147,10 @@ def featurize_files(
         lengths[: len(waves)] = -(-np.minimum(raw_lengths, cap_src) * up // down)
         return start, len(chunk), batch, lengths, src_sr
 
-    def decode(start):
+    def decode(start, waves=None):
         chunk = list(filenames[start : start + batch_size])
-        waves = native.decode_resample_batch(chunk, cfg.sr)
+        if waves is None:
+            waves = native.decode_resample_batch(chunk, cfg.sr)
         lengths = np.zeros((batch_size,), dtype=np.int64)
         lengths[: len(waves)] = [len(w) for w in waves]
         cap = max(int(lengths.max()), cfg.sr)

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.mlp import MLPConfig, apply_mlp
+from ..train.epoch_scan import _masked_forward_loss
 from ..train.trainer import Trainer, _nonneg_clamp
 from .mesh import DATA_AXIS, pad_to_multiple, replicated, sharded_batch
 
@@ -55,14 +56,11 @@ class DataParallelTrainer(Trainer):
         shard = sharded_batch(mesh)
 
         def loss_fn(params, state, x, y, w, rng):
-            logits, new_state = apply_mlp(
-                model_cfg, params, state, x, train=True, rng=rng
-            )
-            logp = jax.nn.log_softmax(logits, -1)
-            per = -jnp.take_along_axis(logp, y[:, None], -1)[:, 0]
-            loss = jnp.sum(per * w) / jnp.sum(w)
-            acc = jnp.sum((jnp.argmax(logits, -1) == y) * w) / jnp.sum(w)
-            return loss, (new_state, acc)
+            # masked forward: BatchNorm batch moments must EXCLUDE the
+            # zero-padded rows, not just the loss/metrics (plain apply_mlp
+            # over a padded batch shifts normalization, loss, and grads —
+            # measured 0.88 vs 0.79 loss on a 5-row batch padded to 8)
+            return _masked_forward_loss(model_cfg, params, state, x, y, w, rng)
 
         def train_step(params, state, opt_state, cstate, x, y, w, rng):
             (loss, (state, acc)), grads = jax.value_and_grad(

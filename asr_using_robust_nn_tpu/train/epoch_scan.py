@@ -32,7 +32,10 @@ __all__ = ["build_epoch_fn", "build_eval_fn"]
 
 
 def _masked_forward_loss(model_cfg, params, state, x, y, w, rng):
-    """CCE + accuracy with row weights; BN moments exclude masked rows."""
+    """CCE + accuracy with row weights; BN moments exclude masked rows.
+
+    Shared by the epoch-scan path and DataParallelTrainer (both feed padded
+    batches)."""
     n_hidden = len(model_cfg.hidden)
     new_slayers = []
     h = x

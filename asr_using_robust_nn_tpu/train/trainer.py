@@ -148,14 +148,17 @@ class Trainer:
 
     def predict(self, params, state, x, batch_size: int | None = None):
         """Softmax probabilities, batched — `model.predict` equivalent."""
-        from ..models.mlp import predict_probs
+        if not hasattr(self, "_predict_fn"):
+            from ..models.mlp import predict_probs
 
+            self._predict_fn = jax.jit(
+                lambda p, s, xb: predict_probs(self.model_cfg, p, s, xb)
+            )
         bs = batch_size or self.cfg.batch_size
         x = np.asarray(x, dtype=np.float32)
         out = []
-        fn = jax.jit(lambda p, s, xb: predict_probs(self.model_cfg, p, s, xb))
         for i in range(0, len(x), bs):
-            out.append(np.asarray(fn(params, state, x[i : i + bs])))
+            out.append(np.asarray(self._predict_fn(params, state, x[i : i + bs])))
         return np.concatenate(out, axis=0)
 
     def fit(
@@ -232,19 +235,20 @@ class Trainer:
                 return (jax.device_put(arr, row_sharding)
                         if row_sharding is not None else jax.device_put(arr))
 
+            from ..parallel.mesh import pad_to_multiple
+
             bs = cfg.batch_size
-            n_true = len(train_x)
-            n_pad = -(-n_true // bs) * bs
-            d_train = put(np.pad(train_x, ((0, n_pad - n_true), (0, 0))))
-            l_train = put(np.pad(train_y, (0, n_pad - n_true)).astype(np.int32))
+            d_tr, n_true = pad_to_multiple(train_x, bs)
+            l_tr, _ = pad_to_multiple(train_y.astype(np.int32), bs)
+            d_train, l_train = put(d_tr), put(l_tr)
             vx = np.asarray(val_x, np.float32)
             vy = np.asarray(val_y, np.int32)
             vb = 1024 if len(vx) >= 1024 else max(8, len(vx))
             if mesh is not None:
                 vb = -(-vb // mesh.devices.size) * mesh.devices.size
-            v_pad = -(-len(vx) // vb) * vb
-            d_val = put(np.pad(vx, ((0, v_pad - len(vx)), (0, 0))))
-            l_val = put(np.pad(vy, (0, v_pad - len(vx))).astype(np.int32))
+            d_v, _ = pad_to_multiple(vx, vb)
+            l_v, _ = pad_to_multiple(vy, vb)
+            d_val, l_val = put(d_v), put(l_v)
             def make_epoch_fn(e_per_call):
                 return build_epoch_fn(
                     self.model_cfg, self.optimizer, self.constraint,
@@ -312,7 +316,7 @@ class Trainer:
                     {"loss": history["loss"][-1], "acc": history["acc"][-1],
                      "val_loss": val_loss, "val_acc": val_acc}, epoch
                 )
-            if cfg.log_every and epoch % cfg.log_every == 0:
+            if cfg.log_every and (epoch % cfg.log_every) < ep_stride:
                 print(
                     f"epoch {epoch}: loss={history['loss'][-1]:.4f} "
                     f"acc={history['acc'][-1]:.4f} val_loss={val_loss:.4f} "
@@ -326,10 +330,11 @@ class Trainer:
                 if ckpt is not None:
                     ckpt.save_best(params, state, opt_state, epoch, val_loss)
             else:
-                # patience counts EPOCHS (Keras EarlyStopping semantics),
-                # regardless of how many epochs each dispatch fuses
+                # patience counts EPOCHS (Keras EarlyStopping semantics:
+                # stop once wait >= patience), regardless of how many
+                # epochs each dispatch fuses
                 wait += ep_stride if dr is not None else 1
-                if wait > cfg.patience:
+                if wait >= cfg.patience:
                     break
         elapsed = time.perf_counter() - t0
         if best is None:

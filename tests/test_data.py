@@ -40,10 +40,26 @@ def digit_corpus(tmp_path, rng):
 
 class TestCorpus:
     def test_walk_digit_layout(self, digit_corpus):
-        files, labels, classes = walk_corpus(digit_corpus, DIGIT_WORDS)
-        assert classes == ["zero", "one", "two"]
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            files, labels, classes = walk_corpus(digit_corpus, DIGIT_WORDS)
+        # classes keep the CANONICAL list so labels are stable even when
+        # folders are missing (fix over the reference, docs/PARITY.md)
+        assert classes == DIGIT_WORDS
         assert len(files) == 15
         assert labels.tolist() == [0] * 5 + [1] * 5 + [2] * 5
+
+    def test_missing_folder_labels_stable(self, digit_corpus):
+        import shutil
+        import warnings
+
+        shutil.rmtree(digit_corpus / "one")
+        with pytest.warns(UserWarning, match="missing"):
+            files, labels, classes = walk_corpus(digit_corpus, DIGIT_WORDS)
+        # 'two' keeps label 2 even though 'one' is gone
+        assert sorted(set(labels.tolist())) == [0, 2]
 
     def test_walk_speaker_layout(self, digit_corpus):
         # class_names=None: sorted subfolders, including the distractor
