@@ -41,25 +41,28 @@ def _add_train(sub):
     p.add_argument("--config", default=None,
                    help="JSON config (see configs/) providing defaults for "
                         "the flags below; explicit flags win")
+    # merge-relevant flags default to None so `--config` values are only
+    # overridden by EXPLICIT flags (a truthy argparse default would mask the
+    # config); hard defaults resolve in cmd_train after the merge
     p.add_argument("--task", choices=["digit", "speaker"], required=False)
     p.add_argument("--variant", choices=["unconstrained", "constrained"],
-                   default="unconstrained")
+                   default=None)
     p.add_argument("--data", required=True, help="artifact dir from prepare-data")
     p.add_argument("--ckpt", required=True, help="checkpoint dir")
     p.add_argument("--constraint",
                    choices=["simple", "norm", "fista", "custom", "none"],
-                   default="simple",
+                   default=None,
                    help="projection algorithm for --variant constrained "
                         "(reference known-good: simple)")
     p.add_argument("--rho", type=float, default=None,
                    help="Lipschitz target (defaults: digit 0.1, speaker 1.0 — "
                         "train_constraints.py:102)")
-    p.add_argument("--epochs", type=int, default=10000)
+    p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--patience", type=int, default=None,
                    help="early-stopping patience (reference per-script values "
                         "by default)")
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true",
                    help="train over all visible devices (1-D data mesh)")
     p.add_argument("--device-resident", action="store_true",
@@ -67,7 +70,7 @@ def _add_train(sub):
                         "one fused XLA program (fastest on TPU; "
                         "train/epoch_scan.py)")
     p.add_argument("--no-standardize", action="store_true")
-    p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--log-every", type=int, default=None)
     p.add_argument("--monitor-lipschitz", action="store_true")
     p.add_argument("--export-h5", default=None, help="also export weights to .h5")
     p.add_argument("--resume", action="store_true",
@@ -184,21 +187,53 @@ _REF_DEFAULTS = {
 _REF_RHO = {"digit": 0.1, "speaker": 1.0}
 
 
+_TRAIN_CONF_KEYS = {
+    "task": ("digit", "speaker"),
+    "variant": ("unconstrained", "constrained"),
+    "constraint": ("simple", "norm", "fista", "custom", "none"),
+    "rho": None, "epochs": None, "patience": None, "batch_size": None,
+    "seed": None, "log_every": None, "data_parallel": None,
+    "device_resident": None, "monitor_lipschitz": None,
+    "no_standardize": None,
+}
+
+
 def cmd_train(args):
     if args.config:
         with open(args.config) as f:
-            conf = {k: v for k, v in json.load(f).items()
+            conf = {k.replace("-", "_"): v for k, v in json.load(f).items()
                     if not k.startswith("_")}
+        unknown = set(conf) - set(_TRAIN_CONF_KEYS)
+        if unknown:
+            print(f"error: unknown config keys {sorted(unknown)} in "
+                  f"{args.config!r} (known: {sorted(_TRAIN_CONF_KEYS)})",
+                  file=sys.stderr)
+            return 2
         for k, v in conf.items():
-            k = k.replace("-", "_")
-            if getattr(args, k, None) in (None, False) or (
-                k == "epochs" and args.epochs == 10000
-            ):
+            allowed = _TRAIN_CONF_KEYS[k]
+            if allowed is not None and v not in allowed:
+                print(f"error: config {k}={v!r} not in {allowed}",
+                      file=sys.stderr)
+                return 2
+            # explicit flags win; config fills None sentinels (and False
+            # store_true flags, which a user cannot set to False explicitly)
+            if getattr(args, k, None) in (None, False):
                 setattr(args, k, v)
     if not args.task:
         print("error: --task required (or provide it via --config)",
               file=sys.stderr)
         return 2
+    # hard defaults for anything still unset
+    if args.variant is None:
+        args.variant = "unconstrained"
+    if args.constraint is None:
+        args.constraint = "simple"
+    if args.epochs is None:
+        args.epochs = 10000
+    if args.seed is None:
+        args.seed = 0
+    if args.log_every is None:
+        args.log_every = 1
     from ..constraints import (
         make_custom_constraint,
         make_fista_constraint,
@@ -417,10 +452,16 @@ def cmd_dolphin(args):
 
 
 def cmd_bench(args):
+    # source checkout: bench.py sits next to the package; installed: it is
+    # shipped as a top-level module (pyproject py-modules)
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sys.path.insert(0, root)
-    import bench
-
+    try:
+        import bench
+    except ModuleNotFoundError:
+        print("error: bench module not found (run from a source checkout or "
+              "reinstall the package)", file=sys.stderr)
+        return 2
     bench.main(quick=args.quick)
 
 

@@ -110,12 +110,13 @@ def make_simple_norm_constraint(
     rho: float, affected_layers_indices: tuple[int, ...] = (), n_iter: int = 16
 ) -> Constraint:
     """Algorithm 2 (`simple_norm_constraint`, Constraints.py:135-189):
-    sigma = ||W_m^T ... W_1^T||_2 (computed once per step on the *pre-
-    projection* weights, as the reference recomputes per layer but from the
-    same snapshot), then w_i <- w_i * (rho / (sigma + eps))^(1/m) for the
-    affected layers (all when the index list is empty). Exponent is 1/m with
-    m = total dense count even when only a subset is affected — reference
-    behavior (`:167`).
+    per layer, sigma = ||W_m^T ... W_1^T||_2 recomputed from the LIVE
+    weights (earlier layers already rescaled this step — the reference's
+    get_projection re-reads the mutated model each time, :143-149,158-169),
+    then w_i <- w_i * (rho / (sigma + eps))^(1/m). Exponent is 1/m with
+    m = total dense count even when only a subset is affected (`:167`).
+    One application does NOT force sigma to rho; it converges there over
+    batches, exactly like the reference's training dynamics.
 
     The product norm runs as power iteration with matvecs through the layer
     chain — never materializing the product — with a persistent vector.
@@ -130,40 +131,51 @@ def make_simple_norm_constraint(
         }
 
     def apply(params, cstate):
-        ws = dense_kernels(params)
+        ws = list(dense_kernels(params))
         m = len(ws)
-
-        def p_t(u):  # P^T u = W_1 (W_2 (... (W_m u)))
-            x = u
-            for w in reversed(ws):
-                x = w @ x
-            return x
-
-        def p(v):  # P v = W_m^T (... (W_1^T v))
-            x = v
-            for w in ws:
-                x = w.T @ x
-            return x
 
         def norm(x):
             return x / (jnp.linalg.norm(x) + _EPS)
 
-        u = norm(cstate["u"])
+        def product_sigma(ws_now, u):
+            def p_t(u):  # P^T u = W_1 (W_2 (... (W_m u)))
+                x = u
+                for w in reversed(ws_now):
+                    x = w @ x
+                return x
 
-        def body(_, u):
-            return norm(p(norm(p_t(u))))
+            def p(v):  # P v = W_m^T (... (W_1^T v))
+                x = v
+                for w in ws_now:
+                    x = w.T @ x
+                return x
 
-        u = jax.lax.fori_loop(0, n_iter, body, u)
-        v = norm(p_t(u))
-        sigma = u @ p(v)
-        factor = (rho / (sigma + _EPS)) ** (1.0 / m)
+            def body(_, u):
+                return norm(p(norm(p_t(u))))
+
+            u = jax.lax.fori_loop(0, n_iter, body, norm(u))
+            v = norm(p_t(u))
+            return u @ p(v), u
+
         affected = (
-            set(range(m))
+            list(range(m))
             if not affected_layers_indices
-            else set(affected_layers_indices)
+            else sorted(affected_layers_indices, reverse=True)
         )
-        new_ws = [w * factor if i in affected else w for i, w in enumerate(ws)]
-        return set_dense_kernels(params, new_ws), {"u": u}
+        # SEQUENTIAL semantics, exactly like the reference: each layer's
+        # get_projection re-reads the LIVE model (`get_w_list`,
+        # Constraints.py:143-149), i.e. sigma is recomputed from the
+        # already-rescaled earlier layers before scaling the next one. One
+        # application therefore does NOT force sigma(product) to rho; it
+        # converges there over repeated batches. (The all-layers loop runs
+        # in model order, :174-179; the affected-subset loop runs
+        # reversed(range(...)), :181-189.)
+        u = cstate["u"]
+        for i in affected:
+            sigma, u = product_sigma(ws, u)
+            factor = (rho / (sigma + _EPS)) ** (1.0 / m)
+            ws[i] = ws[i] * factor
+        return set_dense_kernels(params, ws), {"u": u}
 
     return Constraint(init=init, apply=apply)
 
@@ -183,9 +195,12 @@ def make_fista_constraint(rho: float, nit: int = 2, alpha: float = 2.1) -> Const
     """
 
     def apply(params, cstate):
-        ws = dense_kernels(params)
+        # SEQUENTIAL like the reference: get_projection re-reads the live
+        # model per layer (Constraints.py:99,124-130), so B for layer i is
+        # built from the ALREADY-projected layers 0..i-1 while A still sees
+        # the not-yet-projected later layers (model-order loop).
+        ws = list(dense_kernels(params))
         m = len(ws)
-        new_ws = list(ws)
         for i in range(m):
             # A = W_m^T...W_{i+1}^T: (n_out_m, out_i); B = W_{i-1}^T...W_1^T:
             # (in_i, in_1); identity at the chain ends (Constraints.py:96-120).
@@ -203,16 +218,16 @@ def make_fista_constraint(rho: float, nit: int = 2, alpha: float = 2.1) -> Const
                 b = jnp.eye(ws[i].shape[0], dtype=ws[i].dtype)
             w_t = ws[i].T  # reference passes w.T (Constraints.py:121)
             w_new_t = _fista_project(w_t, a, b, rho, nit, alpha)
-            new_ws[i] = w_new_t.T
-        return set_dense_kernels(params, new_ws), cstate
+            ws[i] = w_new_t.T
+        return set_dense_kernels(params, ws), cstate
 
     return Constraint(init=lambda params: (), apply=apply)
 
 
 def _fista_project(w, a, b, rho, nit, alpha):
     """The Constraint_Fista inner loop (Constraints.py:69-94), jax-native."""
-    sig_a = jnp.linalg.norm(a, ord=2) if min(a.shape) > 1 else jnp.abs(a).max()
-    sig_b = jnp.linalg.norm(b, ord=2) if min(b.shape) > 1 else jnp.abs(b).max()
+    sig_a = jnp.linalg.norm(a, ord=2)
+    sig_b = jnp.linalg.norm(b, ord=2)
     gam = 1.0 / ((sig_a * sig_b + _EPS) ** 2)
     y0 = jnp.zeros((a.shape[0], b.shape[1]), dtype=w.dtype)
 

@@ -41,6 +41,7 @@ def read_wav(path_or_bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_sub = None
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -48,16 +49,18 @@ def read_wav(path_or_bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + csz]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_sub = (struct.unpack("<H", body[24:26])[0]
+                       if len(body) >= 26 else None)
         elif cid == b"data":
             raw = body
         pos += 8 + csz + (csz & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(raw) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits != 32 else 3  # best-effort: PCM or float
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code is the
+        # first two bytes of the SubFormat GUID at fmt offset 24
+        audio_format = fmt_sub if fmt_sub is not None else 1
     if audio_format == 1:  # integer PCM
-        nbytes = bits // 8
         if bits == 8:
             x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
             x = (x - 128.0) / _PCM_SCALE[1]
@@ -75,7 +78,6 @@ def read_wav(path_or_bytes) -> tuple[np.ndarray, int]:
             x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / _PCM_SCALE[4]
         else:
             raise ValueError(f"unsupported PCM bit depth {bits}")
-        _ = nbytes
     elif audio_format == 3:  # IEEE float
         dt = "<f4" if bits == 32 else "<f8"
         x = np.frombuffer(raw, dtype=dt).astype(np.float32)
@@ -141,9 +143,12 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     if n_up * len(taps) < 5e7:
         y = np.convolve(stuffed, taps, mode="full")
     else:
-        from scipy.signal import fftconvolve
+        try:
+            from scipy.signal import fftconvolve
 
-        y = fftconvolve(stuffed, taps, mode="full")
+            y = fftconvolve(stuffed, taps, mode="full")
+        except ImportError:  # scipy optional: slow-but-correct numpy path
+            y = np.convolve(stuffed, taps, mode="full")
     half = (len(taps) - 1) // 2
     y = y[half : half + n_up]
     n_out = int(np.ceil(len(x) * up / down))

@@ -49,7 +49,10 @@ int parse_wav(const uint8_t* data, size_t len, WavData* out) {
       n_channels = rd_u16(body + 2);
       sample_rate = (int)rd_u32(body + 4);
       bits = rd_u16(body + 14);
-      if (audio_format == 0xFFFE) audio_format = (bits == 32) ? 3 : 1;
+      if (audio_format == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: real code = first 2 bytes of SubFormat
+        audio_format = (csz >= 26) ? rd_u16(body + 24) : 1;
+      }
     } else if (memcmp(cid, "data", 4) == 0) {
       raw = body;
       raw_len = csz;

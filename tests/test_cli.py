@@ -166,3 +166,38 @@ class TestCLI:
         rc = main(["evaluate", "--task", "digit",
                    "--data", str(tmp_path), "--ckpt", str(tmp_path / "missing")])
         assert rc == 2  # artifacts missing caught before checkpoint
+
+    def test_config_variant_actually_applies(self, artifacts, corpus, capsys):
+        """Regression: a truthy argparse default must not mask config keys —
+        the shipped constrained recipe must actually train constrained."""
+        import json as _json
+
+        conf = corpus / "conf2.json"
+        conf.write_text(_json.dumps({
+            "task": "digit", "variant": "constrained", "constraint": "simple",
+            "rho": 0.5, "batch_size": 8, "patience": 5, "epochs": 2,
+        }))
+        rc = main([
+            "train", "--config", str(conf), "--data", str(artifacts),
+            "--ckpt", str(corpus / "ck_conf2"), "--log-every", "0",
+        ])
+        assert rc in (0, None)
+        # the constrained variant clamps kernels NonNeg: verify on the ckpt
+        from asr_using_robust_nn_tpu.cli.main import load_model, model_cfg_for
+        from asr_using_robust_nn_tpu.models.mlp import dense_kernels
+
+        p, s = load_model(corpus / "ck_conf2", model_cfg_for("digit", "constrained"))
+        assert all(float(np.min(np.asarray(w))) >= 0.0 for w in dense_kernels(p))
+
+    def test_config_rejects_unknown_and_invalid(self, artifacts, corpus, capsys):
+        import json as _json
+
+        bad1 = corpus / "bad1.json"
+        bad1.write_text(_json.dumps({"task": "digit", "batchsize": 8}))
+        assert main(["train", "--config", str(bad1), "--data", str(artifacts),
+                     "--ckpt", str(corpus / "x")]) == 2
+        assert "unknown config keys" in capsys.readouterr().err
+        bad2 = corpus / "bad2.json"
+        bad2.write_text(_json.dumps({"task": "Digit"}))
+        assert main(["train", "--config", str(bad2), "--data", str(artifacts),
+                     "--ckpt", str(corpus / "x")]) == 2
