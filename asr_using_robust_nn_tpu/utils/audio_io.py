@@ -48,6 +48,8 @@ def read_wav(path_or_bytes) -> tuple[np.ndarray, int]:
         (csz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + csz]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
             fmt_sub = (struct.unpack("<H", body[24:26])[0]
                        if len(body) >= 26 else None)
@@ -57,6 +59,8 @@ def read_wav(path_or_bytes) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if n_channels <= 0 or sample_rate <= 0:
+        raise ValueError("invalid fmt chunk (channels/sample rate)")
     if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code is the
         # first two bytes of the SubFormat GUID at fmt offset 24
         audio_format = fmt_sub if fmt_sub is not None else 1

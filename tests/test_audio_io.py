@@ -99,3 +99,46 @@ class TestNative:
         outs = native.decode_resample_batch(paths, 22050)
         assert len(outs) == 4
         assert all(len(o) == len(outs[0]) for o in outs)
+
+
+class TestWavFuzz:
+    def test_truncated_and_garbage_wavs_raise_cleanly(self, rng, tmp_path):
+        """Malformed containers must raise ValueError, never crash or return
+        garbage silently."""
+        sr = 8000
+        y = (0.2 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+        p = tmp_path / "good.wav"
+        audio_io.write_wav(p, y, sr)
+        good = p.read_bytes()
+        for cut in (4, 11, 20, 40):
+            with pytest.raises(ValueError):
+                audio_io.read_wav(good[:cut])
+        # a truncated DATA chunk is tolerated (partial samples returned)
+        ch, _ = audio_io.read_wav(good[: len(good) // 2])
+        assert ch.shape[1] > 0
+        for seed in range(5):
+            blob = np.random.default_rng(seed).integers(
+                0, 256, 200, dtype=np.uint8
+            ).tobytes()
+            try:
+                audio_io.read_wav(b"RIFF" + blob[:4] + b"WAVE" + blob)
+            except ValueError:
+                pass
+
+    def test_extensible_pcm16(self, tmp_path):
+        """WAVE_FORMAT_EXTENSIBLE with PCM SubFormat decodes as integer PCM."""
+        import struct
+
+        sr, n = 8000, 100
+        pcm = (np.linspace(-0.5, 0.5, n) * 32767).astype("<i2").tobytes()
+        # WAVEFORMATEXTENSIBLE: base(16) + cbSize(2) + validBits(2) +
+        # channelMask(4) + SubFormat GUID (code 0x0001 = PCM in bytes 0-1)
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 2, 2, 16)
+        fmt += struct.pack("<HHI", 22, 16, 0x4) + struct.pack("<H", 1) + b"\x00" * 14
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        ch, got_sr = audio_io.read_wav(blob)
+        assert got_sr == sr
+        np.testing.assert_allclose(ch[0][0], -0.5, atol=1e-3)
+        assert np.abs(ch[0]).max() <= 0.6  # decoded as PCM, not float garbage

@@ -196,3 +196,35 @@ class TestOddNfftFrameCount:
         )
         np.testing.assert_allclose(got[0], want, atol=2e-3, rtol=1e-4)
         assert np.all(got[0][:, 100:] == 0)
+
+
+class TestFrontendProperties:
+    def test_amplitude_scaling_shifts_only_c0(self, rng):
+        """power_to_db turns amplitude scaling into a constant db shift, and
+        the orthonormal DCT maps a constant mel vector onto coefficient 0
+        only: mfcc(a*x)[1:] == mfcc(x)[1:], c0 shifts by
+        20*log10(a)*sqrt(n_mels)."""
+        x = (rng.standard_normal((1, 22050)) * 0.05).astype(np.float32)
+        a = 4.0
+        m1 = np.asarray(mfcc_xla_batch(x, DIGIT))[0]
+        m2 = np.asarray(mfcc_xla_batch(a * x, DIGIT))[0]
+        np.testing.assert_allclose(m2[1:], m1[1:], atol=3e-3)
+        expected_shift = 20 * np.log10(a) * np.sqrt(128)
+        np.testing.assert_allclose(
+            m2[0] - m1[0], expected_shift, atol=3e-3
+        )
+
+    def test_batch_order_invariance(self, rng):
+        waves = (rng.standard_normal((4, 22050)) * 0.1).astype(np.float32)
+        out = np.asarray(mfcc_xla_batch(waves, DIGIT))
+        out_rev = np.asarray(mfcc_xla_batch(waves[::-1].copy(), DIGIT))
+        np.testing.assert_allclose(out, out_rev[::-1], atol=1e-5)
+
+    def test_resampler_linearity(self, rng):
+        from asr_using_robust_nn_tpu.utils.audio_io import resample
+
+        x = rng.standard_normal(16000).astype(np.float32)
+        y = rng.standard_normal(16000).astype(np.float32)
+        lhs = resample(x + 2 * y, 16000, 22050)
+        rhs = resample(x, 16000, 22050) + 2 * resample(y, 16000, 22050)
+        np.testing.assert_allclose(lhs, rhs, atol=1e-4)
