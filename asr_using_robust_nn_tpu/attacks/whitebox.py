@@ -43,9 +43,10 @@ def _ce(logits, y):
     ).sum()
 
 
+@functools.partial(jax.jit, static_argnames=("logits_fn",))
 def fgsm(logits_fn, x, y, eps: float) -> jnp.ndarray:
     """x + eps * sign(grad_x CE) — FastGradientMethod, untargeted, no clip
-    (`attacks.py:506-510`)."""
+    (`attacks.py:506-510`). eps is traced: one compile per sweep."""
     g = jax.grad(lambda xx: _ce(logits_fn(xx), y))(x)
     return x + eps * jnp.sign(g)
 

@@ -151,3 +151,23 @@ class TestDeviceResidentDP:
                 cfg(), data_mesh(),
                 TrainConfig(batch_size=50, epochs=1, device_resident=True),
             ).fit(x[:48], y[:48], x[48:], y[48:])
+
+
+class TestShardedFrontend:
+    def test_mfcc_shards_over_mesh(self, rng):
+        """The fused MFCC is pure: jitting it with a batch-sharded input
+        runs SPMD over the mesh and matches the single-device result."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from asr_using_robust_nn_tpu.ops.mfcc_xla import (
+            FrontendConfig,
+            mfcc_xla_batch,
+        )
+
+        cfg = FrontendConfig.digit()
+        waves = (rng.standard_normal((16, 22050)) * 0.1).astype(np.float32)
+        want = np.asarray(mfcc_xla_batch(waves, cfg))
+        mesh = data_mesh()
+        sharded = jax.device_put(waves, NamedSharding(mesh, P("data")))
+        got = np.asarray(mfcc_xla_batch(sharded, cfg))
+        np.testing.assert_allclose(got, want, atol=1e-4)
