@@ -115,6 +115,18 @@ def _add_bench(sub):
     p.add_argument("--quick", action="store_true")
 
 
+def _add_profile(sub):
+    p = sub.add_parser("profile", help="capture a jax.profiler trace of the "
+                                       "training hot path (view in "
+                                       "TensorBoard's profile tab / Perfetto)")
+    p.add_argument("--task", choices=["digit", "speaker"], default="digit")
+    p.add_argument("--variant", choices=["unconstrained", "constrained"],
+                   default="constrained")
+    p.add_argument("--out", required=True, help="trace output directory")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=512)
+
+
 def _add_eval(sub):
     p = sub.add_parser("evaluate", help="clean test eval + confusion matrix")
     p.add_argument("--task", choices=["digit", "speaker"], default="digit")
@@ -465,6 +477,52 @@ def cmd_bench(args):
     bench.main(quick=args.quick)
 
 
+def cmd_profile(args):
+    """Synthetic-data trace of the fused train step + frontend, the
+    TPU-native replacement for the reference's TensorBoard callback
+    (SURVEY.md §5 tracing)."""
+    import jax
+
+    from ..constraints import make_simple_norm_constraint
+    from ..models.mlp import init_mlp
+    from ..ops.mfcc_xla import FrontendConfig, mfcc_xla_batch
+    from ..train import TrainConfig, Trainer
+    from ..utils.profiling import trace
+
+    cfg = model_cfg_for(args.task, args.variant)
+    fe_cfg = (FrontendConfig.digit() if args.task == "digit"
+              else FrontendConfig.speaker())
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((args.batch_size, cfg.in_dim)).astype(np.float32)
+    y = rng.integers(0, cfg.n_classes, args.batch_size).astype(np.int32)
+    waves = (rng.standard_normal((128, fe_cfg.sr)) * 0.1).astype(np.float32)
+
+    kw = {}
+    if args.variant == "constrained":
+        con = make_simple_norm_constraint(_REF_RHO[args.task], n_iter=4)
+        p0, _ = init_mlp(cfg, jax.random.PRNGKey(0))
+        kw = dict(constraint=con.apply, constraint_state=con.init(p0))
+    trainer = Trainer(cfg, TrainConfig(batch_size=args.batch_size), **kw)
+    params, state = init_mlp(cfg, jax.random.PRNGKey(0))
+    opt_state = trainer.optimizer.init(params)
+    cstate = kw.get("constraint_state")
+    # compile outside the trace so the trace shows steady-state execution
+    out = trainer.train_step(params, state, opt_state, cstate, x, y,
+                             jax.random.PRNGKey(1))
+    jax.tree.leaves(out)[0].block_until_ready()
+    mfcc_xla_batch(waves, fe_cfg).block_until_ready()
+    params, state, opt_state, cstate = out[:4]
+    with trace(args.out):
+        for i in range(args.steps):
+            params, state, opt_state, cstate, loss, acc = trainer.train_step(
+                params, state, opt_state, cstate, x, y, jax.random.PRNGKey(i)
+            )
+        feats = mfcc_xla_batch(waves, fe_cfg)
+        jax.tree.leaves((params, feats))[0].block_until_ready()
+    print(json.dumps({"trace_dir": args.out, "steps": args.steps,
+                      "final_loss": float(loss)}))
+
+
 def cmd_evaluate(args):
     from ..data import load_artifacts, standardize_fit_all
     from ..models.mlp import apply_mlp
@@ -520,6 +578,7 @@ def main(argv=None):
     _add_attack(sub)
     _add_dolphin(sub)
     _add_bench(sub)
+    _add_profile(sub)
     _add_eval(sub)
     args = ap.parse_args(argv)
     return {
@@ -528,6 +587,7 @@ def main(argv=None):
         "attack": cmd_attack,
         "dolphin": cmd_dolphin,
         "bench": cmd_bench,
+        "profile": cmd_profile,
         "evaluate": cmd_evaluate,
     }[args.cmd](args) or 0
 

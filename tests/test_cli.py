@@ -201,3 +201,14 @@ class TestCLI:
         bad2.write_text(_json.dumps({"task": "Digit"}))
         assert main(["train", "--config", str(bad2), "--data", str(artifacts),
                      "--ckpt", str(corpus / "x")]) == 2
+
+    def test_profile_writes_trace(self, tmp_path, capsys):
+        rc = main(["profile", "--task", "digit", "--variant", "unconstrained",
+                   "--out", str(tmp_path / "trace"), "--steps", "2",
+                   "--batch-size", "16"])
+        assert rc in (0, None)
+        out = capsys.readouterr().out
+        assert "trace_dir" in out
+        # jax profiler writes a plugins/profile tree
+        found = list((tmp_path / "trace").rglob("*"))
+        assert found, "no trace artifacts written"
