@@ -69,6 +69,10 @@ def _add_train(sub):
                    help="keep the whole split in HBM and run each epoch as "
                         "one fused XLA program (fastest on TPU; "
                         "train/epoch_scan.py)")
+    p.add_argument("--epochs-per-dispatch", type=int, default=None,
+                   help="device-resident only: fuse E epochs per XLA "
+                        "dispatch (amortizes the host round-trip; history/"
+                        "early-stop granularity coarsens to E)")
     p.add_argument("--no-standardize", action="store_true")
     p.add_argument("--log-every", type=int, default=None)
     p.add_argument("--monitor-lipschitz", action="store_true")
@@ -206,7 +210,7 @@ _TRAIN_CONF_KEYS = {
     "rho": None, "epochs": None, "patience": None, "batch_size": None,
     "seed": None, "log_every": None, "data_parallel": None,
     "device_resident": None, "monitor_lipschitz": None,
-    "no_standardize": None,
+    "no_standardize": None, "epochs_per_dispatch": None,
 }
 
 
@@ -290,7 +294,9 @@ def cmd_train(args):
     tcfg = TrainConfig(batch_size=batch, epochs=args.epochs, patience=patience,
                        seed=args.seed, log_every=args.log_every,
                        device_resident=bool(getattr(args, "device_resident",
-                                                    False)))
+                                                    False)),
+                       epochs_per_dispatch=(
+                           getattr(args, "epochs_per_dispatch", None) or 1))
     callbacks = ()
     if args.monitor_lipschitz:
         callbacks = (lipschitz_monitor(cfg),)
