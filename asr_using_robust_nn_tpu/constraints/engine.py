@@ -170,11 +170,17 @@ def make_simple_norm_constraint(
         # converges there over repeated batches. (The all-layers loop runs
         # in model order, :174-179; the affected-subset loop runs
         # reversed(range(...)), :181-189.)
-        u = cstate["u"]
+        #
+        # Because the product P = W_m^T...W_1^T is LINEAR in each kernel,
+        # scaling layer i by f scales sigma(P) by exactly f — so the
+        # reference's per-layer recompute collapses to ONE power iteration
+        # followed by the exact scalar recurrence
+        #   f_k = (rho / sigma_k)^(1/m),  sigma_{k+1} = sigma_k * f_k.
+        sigma, u = product_sigma(ws, cstate["u"])
         for i in affected:
-            sigma, u = product_sigma(ws, u)
             factor = (rho / (sigma + _EPS)) ** (1.0 / m)
             ws[i] = ws[i] * factor
+            sigma = sigma * factor
         return set_dense_kernels(params, ws), {"u": u}
 
     return Constraint(init=init, apply=apply)
