@@ -121,9 +121,13 @@ class TestWavFuzz:
                 0, 256, 200, dtype=np.uint8
             ).tobytes()
             try:
-                audio_io.read_wav(b"RIFF" + blob[:4] + b"WAVE" + blob)
+                ch, sr = audio_io.read_wav(b"RIFF" + blob[:4] + b"WAVE" + blob)
             except ValueError:
-                pass
+                continue
+            # a structurally-parseable random blob must still yield sane,
+            # finite audio — never NaN/inf garbage
+            assert np.isfinite(ch).all()
+            assert 0 < ch.shape[0] < 64 and sr > 0
 
     def test_extensible_pcm16(self, tmp_path):
         """WAVE_FORMAT_EXTENSIBLE with PCM SubFormat decodes as integer PCM."""

@@ -1,10 +1,7 @@
 """bench.py helpers sanity (CPU): timing chain positive + JSON contract."""
 
 import importlib.util
-import json
 import os
-import subprocess
-import sys
 
 import numpy as np
 
@@ -24,7 +21,7 @@ def load_bench():
 
 
 class TestTimeChain:
-    def test_positive_and_scales(self):
+    def test_positive_finite(self):
         bench = load_bench()
         x = jnp.ones((64, 128))
         rtt = bench._measure_rtt(x)

@@ -180,8 +180,9 @@ class TestEndToEnd:
                 audio_io.write_wav(d / f"{i}.wav", y.astype(np.float32), sr)
         splits = build_dataset(tmp_path / "rodigits", "speaker", seed=0, backend="xla")
         assert splits.train_data.shape[1] == 2020
-        # 7 train files x ~2-3 windows each (resampled 4 s @22.05k -> 5.5 s)
-        assert splits.train_data.shape[0] >= 14
+        # 7 train files x exactly 2 usable windows (4 s minus boundary
+        # seconds; resampling preserves duration)
+        assert splits.train_data.shape[0] == 14
         assert len(splits.train_label) == len(splits.train_data)
 
 

@@ -21,13 +21,12 @@ class TestOddSampleRates:
         out, got_sr = audio_io.load_audio(p, 22050, native=False)
         assert got_sr == 22050
         assert abs(len(out) - 22050) <= 2
-        if native_available := True:
-            from asr_using_robust_nn_tpu.utils import native
+        from asr_using_robust_nn_tpu.utils import native
 
-            if native.available():
-                out_n = native.decode_resample(p, 22050)
-                n = min(len(out), len(out_n))
-                np.testing.assert_allclose(out[:n], out_n[:n], atol=1e-5)
+        if native.available():
+            out_n = native.decode_resample(p, 22050)
+            n = min(len(out), len(out_n))
+            np.testing.assert_allclose(out[:n], out_n[:n], atol=1e-5)
 
 
 class TestExtremeDurations:

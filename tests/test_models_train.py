@@ -197,7 +197,7 @@ class TestTrainer:
         h = BatchNormalization()(h)
         h = Dense(16, activation="relu")(h)
         h = BatchNormalization()(h)
-        out = Dense(4, activation="softmax")(inp if False else h)
+        out = Dense(4, activation="softmax")(h)
         km = Model(inp, out)
         path = str(tmp_path / "keras.weights.h5")
         try:
@@ -291,21 +291,52 @@ class TestDeviceResident:
                 x[:32], y[:32], x[32:], y[32:])
 
     def test_dropout_varies_across_fused_epochs(self, rng):
-        """Frozen-shuffle mode must still draw fresh dropout per epoch: with
-        repeated masks the fused and streaming runs would diverge sharply."""
-        x, y = synthetic_task(rng, n=256)
+        """Frozen-shuffle mode must still draw fresh dropout per epoch:
+        the E=2 fused program must EXACTLY equal two E=1 calls whose drop
+        keys are fold_in(dk, 0) and fold_in(dk, 1)."""
+        import jax as _jax
+
+        from asr_using_robust_nn_tpu.train import adam_optimizer
+        from asr_using_robust_nn_tpu.train.epoch_scan import build_epoch_fn
+
+        x, y = synthetic_task(rng, n=128)
         cfg = small_cfg(dropout=(0.5, 0.5))
-        r1 = Trainer(cfg, TrainConfig(batch_size=64, epochs=16, patience=100,
-                                      seed=0, device_resident=True,
-                                      epochs_per_dispatch=8)).fit(
-            x[:192], y[:192], x[192:], y[192:])
-        r2 = Trainer(cfg, TrainConfig(batch_size=64, epochs=16, patience=100,
-                                      seed=0, device_resident=True,
-                                      epochs_per_dispatch=1)).fit(
-            x[:192], y[:192], x[192:], y[192:])
-        # both train with per-epoch-varying dropout; final val acc comparable
-        assert abs(r1["history"]["val_acc"][-1]
-                   - r2["history"]["val_acc"][-1]) < 0.25
+        opt = adam_optimizer()
+        params, state = init_mlp(cfg, _jax.random.PRNGKey(0))
+        opt_state = opt.init(params)
+        xd = jnp.asarray(x[:128])
+        yd = jnp.asarray(y[:128]).astype(jnp.int32)
+        pk, dk = _jax.random.PRNGKey(1), _jax.random.PRNGKey(2)
+
+        fused = build_epoch_fn(cfg, opt, batch_size=64, shuffle=False,
+                               epochs_per_call=2, reshuffle_inner=False)
+        single = build_epoch_fn(cfg, opt, batch_size=64, shuffle=False,
+                                epochs_per_call=1)
+        import copy
+
+        f_out = fused(copy.deepcopy(params), copy.deepcopy(state),
+                      _jax.tree.map(jnp.array, opt_state), None, xd, yd,
+                      pk, dk, 128)
+        s_out = single(copy.deepcopy(params), copy.deepcopy(state),
+                       _jax.tree.map(jnp.array, opt_state), None, xd, yd,
+                       pk, _jax.random.fold_in(dk, 0), 128)
+        s_out = single(s_out[0], s_out[1], s_out[2], None, xd, yd,
+                       pk, _jax.random.fold_in(dk, 1), 128)
+        np.testing.assert_allclose(
+            np.asarray(f_out[0]["layers"][0]["w"]),
+            np.asarray(s_out[0]["layers"][0]["w"]), atol=1e-6,
+        )
+        # and the two inner epochs used DIFFERENT dropout draws: a frozen-dk
+        # variant produces different weights
+        frozen = single(copy.deepcopy(params), copy.deepcopy(state),
+                        _jax.tree.map(jnp.array, opt_state), None, xd, yd,
+                        pk, _jax.random.fold_in(dk, 0), 128)
+        frozen = single(frozen[0], frozen[1], frozen[2], None, xd, yd,
+                        pk, _jax.random.fold_in(dk, 0), 128)
+        assert not np.allclose(
+            np.asarray(f_out[0]["layers"][0]["w"]),
+            np.asarray(frozen[0]["layers"][0]["w"]), atol=1e-6,
+        )
 
     def test_fit_twice_same_trainer(self, rng):
         """Donated buffers must not leak: two fit() calls on one Trainer

@@ -1,7 +1,6 @@
 """Observability utilities: timers, metric writer, distributed no-op."""
 
 import json
-import time
 
 from asr_using_robust_nn_tpu.parallel.mesh import maybe_init_distributed
 from asr_using_robust_nn_tpu.utils.profiling import MetricWriter, StepTimer
@@ -27,7 +26,8 @@ class TestMetricWriter:
         lines = [json.loads(l) for l in
                  (tmp_path / "metrics.jsonl").read_text().splitlines()]
         assert len(lines) == 3
-        assert lines[-1] == {**lines[-1], "tag": "loss", "step": 1}
+        assert lines[-1]["tag"] == "loss"
+        assert lines[-1]["step"] == 1
 
 
 class TestDistributed:
