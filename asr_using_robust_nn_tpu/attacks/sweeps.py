@@ -186,6 +186,7 @@ def whitebox_sweep(
     standardize: Callable | None = None,
     max_samples: int | None = None,
     seed: int = 0,
+    label_source: str = "predicted",
 ) -> SweepResult:
     """Run one white-box sweep. attack: 'fgsm'|'pgd'|'jsma'|'cw_l2'|'cw_linf'.
 
@@ -193,6 +194,12 @@ def whitebox_sweep(
     reference attacks each wrapped classifier with its own gradients,
     `attacks.py:506-510`). JSMA evaluates on the first 100 samples like the
     reference (`:549-550`) unless max_samples overrides.
+
+    label_source='predicted' (default) reproduces ART's behavior when
+    generate() is called without y (as the reference does, `:509-510`): each
+    attack uses ITS model's own predictions as labels. 'true' uses the
+    ground-truth labels (stronger attack, no label leaking). Reported
+    accuracy is always measured against the true labels.
     """
     import jax.numpy as jnp
 
@@ -210,22 +217,30 @@ def whitebox_sweep(
             "cw_l2": GRIDS["cw_l2_confidence"],
             "cw_linf": GRIDS["cw_linf_confidence"],
         }[attack]
+    def attack_labels(lf):
+        if label_source == "true":
+            return y
+        return jnp.argmax(lf(x), -1).astype(jnp.int32)
+
     gen = {
-        "fgsm": lambda lf, s, k: whitebox.fgsm(lf, x, y, float(s)),
-        "pgd": lambda lf, s, k: whitebox.pgd(lf, x, y, float(s)),
-        "jsma": lambda lf, s, k: whitebox.jsma(lf, x, theta=float(s), key=k),
-        "cw_l2": lambda lf, s, k: whitebox.carlini_l2(lf, x, y, confidence=float(s)),
-        "cw_linf": lambda lf, s, k: whitebox.carlini_linf(
-            lf, x, y, confidence=float(s)
+        "fgsm": lambda lf, ya, s, k: whitebox.fgsm(lf, x, ya, float(s)),
+        "pgd": lambda lf, ya, s, k: whitebox.pgd(lf, x, ya, float(s)),
+        "jsma": lambda lf, ya, s, k: whitebox.jsma(lf, x, theta=float(s), key=k),
+        "cw_l2": lambda lf, ya, s, k: whitebox.carlini_l2(
+            lf, x, ya, confidence=float(s)),
+        "cw_linf": lambda lf, ya, s, k: whitebox.carlini_linf(
+            lf, x, ya, confidence=float(s)
         ),
     }[attack]
     key = jax.random.PRNGKey(seed)
     acc_c, acc_u = [], []
     ynp = np.asarray(y)
+    y_att_c = attack_labels(logits_constrained)
+    y_att_u = attack_labels(logits_unconstrained)
     for i, s in enumerate(np.asarray(strengths)):
         k = jax.random.fold_in(key, i)
-        adv_c = np.asarray(gen(logits_constrained, s, k))
-        adv_u = np.asarray(gen(logits_unconstrained, s, k))
+        adv_c = np.asarray(gen(logits_constrained, y_att_c, s, k))
+        adv_u = np.asarray(gen(logits_unconstrained, y_att_u, s, k))
         if standardize is not None:
             adv_c, adv_u = standardize(adv_c), standardize(adv_u)
         acc_c.append(accuracy(predict_constrained(adv_c), ynp))

@@ -357,16 +357,22 @@ def cmd_attack(args):
     pc, sc = load_model(args.constrained, cfg_c)
     pu, su = load_model(args.unconstrained, cfg_u)
 
-    def make_std():
-        trd, dvd, ted = d.train_data, d.dev_data, d.test_data
-        _, _, _, mean, scale = standardize_fit_all(trd, dvd, ted)
-        return lambda x: (x - mean) / scale
-
-    std = make_std()
-    test_feats = d.test_data
     std_before = args.standardize == "before"
+    # the reference's standardize_dataset RE-FITS the scaler per sweep point
+    # on [train; val; perturbed-test] (`attacks.py:341-343,437-438`); in the
+    # standardize-before case train/val are already standardized when that
+    # refit happens (`:327` then `:342`). Replicate both.
+    tr_cur, dv_cur, te_cur = d.train_data, d.dev_data, d.test_data
     if std_before:
-        test_feats = std(test_feats)
+        tr_cur, dv_cur, te_cur, _, _ = standardize_fit_all(
+            tr_cur, dv_cur, te_cur
+        )
+
+    def std(feats):
+        _, _, out, _, _ = standardize_fit_all(tr_cur, dv_cur, feats)
+        return out
+
+    test_feats = te_cur
 
     def logits_c(x):
         return apply_mlp(cfg_c, pc, sc, x, train=False)[0]
@@ -487,6 +493,9 @@ def cmd_profile(args):
     """Synthetic-data trace of the fused train step + frontend, the
     TPU-native replacement for the reference's TensorBoard callback
     (SURVEY.md §5 tracing)."""
+    if args.steps < 1:
+        print("error: --steps must be >= 1", file=sys.stderr)
+        return 2
     import jax
 
     from ..constraints import make_simple_norm_constraint

@@ -52,9 +52,10 @@ def split_files(
 
     Reproduces the reference's slicing exactly — train = [:70%],
     dev = [70%:90%], test = [-10%:] (`Voice digit recogniton/
-    extract_features_construct_dataset.py:210-216`; note test is the *last*
-    10% so dev/test can overlap by one file on rounding, kept for parity) —
-    but with an explicit seed (the reference's shuffle was unseeded, §2.3).
+    extract_features_construct_dataset.py:210-216`; on rounding a file can
+    fall in NO split, and for n < 10 the reference's `[-0:]` puts ALL files
+    in test — both kept for parity) — but with an explicit seed (the
+    reference's shuffle was unseeded, §2.3).
     """
     n = len(filenames)
     order = np.arange(n)
@@ -63,10 +64,16 @@ def split_files(
     files = [filenames[i] for i in order]
     labs = np.asarray(labels)[order]
     n70, n90, n10 = int(n * 0.7), int(n * 0.9), int(n * 0.1)
+    # test uses the reference's literal `[-n10:]` slice, INCLUDING the n<10
+    # quirk where int(n*0.1)==0 makes `[-0:]` the WHOLE list (`VD/...:212`);
+    # on rounding, a file between the 90% mark and the last 10% belongs to
+    # no split (never an overlap).
+    test_files = files[-n10:] if n10 > 0 else list(files)
+    test_labs = labs[-n10:] if n10 > 0 else labs.copy()
     return (
         (files[:n70], labs[:n70]),
         (files[n70:n90], labs[n70:n90]),
-        (files[n - n10 :], labs[n - n10 :]),
+        (test_files, test_labs),
     )
 
 

@@ -95,7 +95,10 @@ def mel_filterbank(
     """
     if fmax is None:
         fmax = sr / 2.0
-    fftfreqs = np.linspace(0.0, sr / 2.0, n_fft_bins(n_fft))
+    # librosa fft_frequencies == np.fft.rfftfreq: bin k at k*sr/n_fft.
+    # (linspace(0, sr/2, bins) is equivalent ONLY for even n_fft; for the
+    # odd speaker preset n_fft=441 it mis-places every bin by up to 25 Hz.)
+    fftfreqs = np.arange(n_fft_bins(n_fft), dtype=np.float64) * (sr / n_fft)
     mel_f = _mel_to_hz(
         np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
     )

@@ -36,12 +36,16 @@ def num_frames(n_samples: int, hop_length: int, n_fft: int = 2048) -> int:
 
 
 def stft_power_ref(
-    y: np.ndarray, n_fft: int, hop_length: int, win_length: int
+    y: np.ndarray, n_fft: int, hop_length: int, win_length: int,
+    pad_mode: str = "constant",
 ) -> np.ndarray:
-    """Power spectrogram |STFT|^2, shape (1+n_fft//2, n_frames), float64."""
+    """Power spectrogram |STFT|^2, shape (1+n_fft//2, n_frames), float64.
+
+    pad_mode='constant' matches librosa >= 0.10; the thesis-era librosa
+    (<= 0.9) used 'reflect'."""
     y = np.asarray(y, dtype=np.float64)
     pad = n_fft // 2
-    ypad = np.pad(y, (pad, pad), mode="constant")
+    ypad = np.pad(y, (pad, pad), mode=pad_mode)
     n_frames = 1 + (len(ypad) - n_fft) // hop_length
     window = filters.pad_center(filters.hann_window(win_length), n_fft)
     frames = np.stack(
@@ -67,11 +71,12 @@ def mfcc_ref(
     hop_length: int = 512,
     win_length: int | None = None,
     n_mels: int = 128,
+    pad_mode: str = "constant",
 ) -> np.ndarray:
     """MFCCs of a single waveform, shape (n_mfcc, n_frames)."""
     if win_length is None:
         win_length = n_fft
-    power = stft_power_ref(y, n_fft, hop_length, win_length)
+    power = stft_power_ref(y, n_fft, hop_length, win_length, pad_mode)
     mel = filters.mel_filterbank(sr, n_fft, n_mels) @ power
     db = power_to_db_ref(mel)
     return filters.dct_matrix(n_mfcc, n_mels) @ db

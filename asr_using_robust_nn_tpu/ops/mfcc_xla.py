@@ -124,6 +124,13 @@ class FrontendConfig:
     amin: float = 1e-10
     top_db: float = 80.0
     precision: str = "highest"  # MXU precision for the DFT/mel/DCT matmuls
+    pad_mode: str = "constant"  # STFT center padding. librosa >=0.10 (and
+    # hence this port's default) uses 'constant'; the thesis-era librosa
+    # (<=0.9) defaulted to 'reflect' — set pad_mode='reflect' to reproduce
+    # artifacts built with old librosa. Note: with per-utterance `lengths`
+    # masking, 'reflect' is exact only for rows whose true length fills the
+    # batch width (the reflection of a zero tail differs from per-file
+    # processing); 'constant' is exact always.
     dft_split_levels: int = 0  # radix-2 DIT stages: each halves DFT matmul
     # FLOPs at identical accuracy (exact f32 butterflies); needs
     # 2^(levels+1) | n_fft and 2^levels | hop, so 0 for the speaker preset
@@ -240,7 +247,8 @@ def mfcc_fft_batch(
     prec = jax.lax.Precision(cfg.precision.lower())
 
     pad = cfg.n_fft // 2
-    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)))
+    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)),
+                   mode=cfg.pad_mode)
     frames = frame_signal(ypad, n_frames, cfg.n_fft, cfg.hop_length)
     window = filters.pad_center(
         filters.hann_window(cfg.win_length), cfg.n_fft
@@ -273,7 +281,8 @@ def mfcc_xla_batch(
     prec = jax.lax.Precision(cfg.precision.lower())
 
     pad = cfg.n_fft // 2
-    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)))
+    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)),
+                   mode=cfg.pad_mode)
 
     if cfg.dft_split_levels > 0:
         power = _rdft_power_split(

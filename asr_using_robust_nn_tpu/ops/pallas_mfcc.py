@@ -105,7 +105,8 @@ def mel_power_pallas(
     mel_tp[: cfg.n_freq] = mel_t
 
     pad = cfg.n_fft // 2
-    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)))
+    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)),
+                   mode=cfg.pad_mode)
     frames = frame_signal(ypad, n_frames, cfg.n_fft, cfg.hop_length)
     rows = b * n_frames
     rows_pad = _round_up(rows, row_tile)

@@ -337,6 +337,8 @@ class Trainer:
                 if wait >= cfg.patience:
                     break
         elapsed = time.perf_counter() - t0
+        if writer is not None:
+            writer.close()
         if best is None:
             best = (jax.tree.map(np.asarray, params),
                     jax.tree.map(np.asarray, state))

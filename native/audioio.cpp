@@ -31,8 +31,10 @@ uint32_t rd_u32(const uint8_t* p) {
 }
 uint16_t rd_u16(const uint8_t* p) { return (uint16_t)p[0] | ((uint16_t)p[1] << 8); }
 
-// Returns 0 on success; fills `out`.
-int parse_wav(const uint8_t* data, size_t len, WavData* out) {
+// Returns 0 on success; fills `out`. decode_samples=false parses headers
+// only (asr_wav_info path — no per-sample work, no second full decode).
+int parse_wav(const uint8_t* data, size_t len, WavData* out,
+              bool decode_samples = true) {
   if (len < 12 || memcmp(data, "RIFF", 4) != 0 || memcmp(data + 8, "WAVE", 4) != 0)
     return -1;
   size_t pos = 12;
@@ -64,8 +66,12 @@ int parse_wav(const uint8_t* data, size_t len, WavData* out) {
   size_t bytes_per = (size_t)bits / 8;
   if (bytes_per == 0) return -3;
   size_t n_frames = raw_len / (bytes_per * n_channels);
-  out->mono.assign(n_frames, 0.0f);
   out->sample_rate = sample_rate;
+  if (!decode_samples) {
+    out->mono.resize(n_frames);  // size only; caller reads .size()
+    return 0;
+  }
+  out->mono.assign(n_frames, 0.0f);
   const float inv_ch = 1.0f / (float)n_channels;
 
   for (size_t i = 0; i < n_frames; i++) {
@@ -136,7 +142,7 @@ int asr_wav_info(const char* path, int* sample_rate, int64_t* n_samples) {
   std::vector<uint8_t> buf;
   if (read_file(path, &buf) != 0) return -1;
   WavData w;
-  int rc = parse_wav(buf.data(), buf.size(), &w);
+  int rc = parse_wav(buf.data(), buf.size(), &w, /*decode_samples=*/false);
   if (rc != 0) return rc;
   *sample_rate = w.sample_rate;
   *n_samples = (int64_t)w.mono.size();

@@ -205,3 +205,10 @@ class TestDeviceResample:
         host = featurize_files(files, cfg, backend="xla")
         dev = featurize_files(files, cfg, backend="xla", device_resample=True)
         np.testing.assert_allclose(dev, host, atol=5e-3, rtol=1e-3)
+
+    def test_tiny_corpus_minus_zero_quirk(self):
+        # n=9: int(9*0.1)==0 -> the reference's [-0:] slice takes ALL files
+        files = [f"f{i}" for i in range(9)]
+        (_, _), (_, _), (te, lte) = split_files(files, np.arange(9), seed=None)
+        assert len(te) == 9
+        assert len(lte) == 9
