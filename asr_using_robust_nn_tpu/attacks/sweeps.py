@@ -34,9 +34,10 @@ GRIDS = {
     "audio_alphas": np.linspace(0, 0.015, 15),
     "mfcc_alphas": np.linspace(0, 100, 30),
     "snrs_db": [60, 30, 20, 15, 10, 5, 0],
-    # speaker-task variants (`Speaker recognition/attacks.py:319-322`)
+    # speaker-task variants (`Speaker recognition/attacks.py:319-322,336`)
     "snrs_db_speaker": [60, 50, 40, 30, 20, 15, 10, 5, 0],
     "audio_alphas_speaker": np.linspace(0, 0.2, 20),
+    "audio_sigmas_speaker": np.linspace(0, 0.005, 10),
     "fgsm_eps_raw": np.linspace(0.01, 0.3, 10),
     "fgsm_eps_std": np.linspace(1, 30, 50),
     "pgd_eps": np.linspace(1, 30, 50),

@@ -82,10 +82,22 @@ def jsma(
     gamma: float = 0.1,
     key=None,
     clip=None,
+    max_iter: int | None = None,
 ) -> jnp.ndarray:
     """Jacobian Saliency Map Attack with feature pairs (SaliencyMapMethod,
     theta=10, gamma=0.1 at `attacks.py:546`). Targeted; `targets=None` draws
     random target classes (ART's behavior when y is omitted).
+
+    Search-space semantics follow ART's SaliencyMapMethod: a feature is only
+    removed from the candidate set when clipping pins it at the bound (for
+    theta>0, at clip[1]); with `clip=None` — the reference wraps its models
+    without clip_values (`attacks.py:540-547`) — features may be re-selected
+    and bumped repeatedly. The gamma budget counts DISTINCT modified
+    features: the loop continues while that fraction is <= gamma, so at most
+    one pair can land past the budget, exactly like ART's while condition.
+    `max_iter` caps the saliency loop (default 4x the pair budget) so a
+    cycling pair can't spin forever; ART has no such cap but terminates in
+    practice for the same reason this cap is rarely hit.
     """
     n_feat = x.shape[-1]
     logits0 = logits_fn(x)
@@ -96,30 +108,31 @@ def jsma(
         preds = jnp.argmax(logits0, -1)
         shift = jax.random.randint(key, preds.shape, 1, n_classes)
         targets = (preds + shift) % n_classes
-    max_pairs = max(1, int(gamma * n_feat) // 2)
+    budget = max(2, int(gamma * n_feat))
+    if max_iter is None:
+        max_iter = max(2 * budget, 8)
 
     def single(x0, t):
         def logits_single(xx):
             return logits_fn(xx[None, :])[0]
 
         def cond(carry):
-            xa, used, i, done = carry
-            return jnp.logical_and(i < max_pairs, jnp.logical_not(done))
+            xa, used, search, i, done = carry
+            return jnp.logical_and(i < max_iter, jnp.logical_not(done))
 
         def body(carry):
-            xa, used, i, _ = carry
+            xa, used, search, i, _ = carry
             jac = jax.jacrev(logits_single)(xa)  # (n_classes, n_feat)
             alpha = jac[t]
             beta = jac.sum(axis=0) - alpha
-            avail = jnp.logical_not(used)
             # pair saliency: S(p,q) = -(a_p+a_q)*(b_p+b_q) where a_sum>0, b_sum<0
             a_pair = alpha[:, None] + alpha[None, :]
             b_pair = beta[:, None] + beta[None, :]
             valid = (
                 (a_pair > 0)
                 & (b_pair < 0)
-                & avail[:, None]
-                & avail[None, :]
+                & search[:, None]
+                & search[None, :]
                 & (~jnp.eye(n_feat, dtype=bool))
             )
             score = jnp.where(valid, -a_pair * b_pair, -jnp.inf)
@@ -130,13 +143,23 @@ def jsma(
             xa_new = jnp.where(any_valid, xa + delta, xa)
             if clip is not None:
                 xa_new = jnp.clip(xa_new, clip[0], clip[1])
-            used = used.at[p].set(True).at[q].set(True)
+                # drop features pinned at the bound from the search space
+                # (ART removes indices where the clip value was reached)
+                bound = clip[1] if theta > 0 else clip[0]
+                search = search & jnp.where(
+                    any_valid, xa_new != bound, search
+                )
+            used = jnp.where(
+                any_valid, used.at[p].set(True).at[q].set(True), used
+            )
             hit = jnp.argmax(logits_single(xa_new)) == t
-            done = jnp.logical_or(hit, jnp.logical_not(any_valid))
-            return (xa_new, used, i + 1, done)
+            over_budget = jnp.sum(used) > budget
+            done = hit | jnp.logical_not(any_valid) | over_budget
+            return (xa_new, used, search, i + 1, done)
 
-        init = (x0, jnp.zeros((n_feat,), bool), 0, jnp.asarray(False))
-        xa, _, _, _ = jax.lax.while_loop(cond, body, init)
+        init = (x0, jnp.zeros((n_feat,), bool),
+                jnp.ones((n_feat,), bool), 0, jnp.asarray(False))
+        xa, _, _, _, _ = jax.lax.while_loop(cond, body, init)
         return xa
 
     return jax.vmap(single)(x, targets)

@@ -232,8 +232,11 @@ def cmd_train(args):
                       file=sys.stderr)
                 return 2
             # explicit flags win; config fills None sentinels (and False
-            # store_true flags, which a user cannot set to False explicitly)
-            if getattr(args, k, None) in (None, False):
+            # store_true flags, which a user cannot set to False explicitly).
+            # Identity checks, not ==: 0 == False in Python, and an explicit
+            # --seed 0 / --patience 0 must not be clobbered by the config.
+            cur = getattr(args, k, None)
+            if cur is None or cur is False:
                 setattr(args, k, v)
     if not args.task:
         print("error: --task required (or provide it via --config)",
@@ -393,13 +396,18 @@ def cmd_attack(args):
     strengths = None
     if args.strengths:
         strengths = [float(s) for s in args.strengths.split(",")]
-    elif args.task == "speaker" and args.type in ("snr_audio", "mixture_audio"):
+    elif args.task == "speaker" and args.type in (
+        "snr_audio", "mixture_audio", "white_audio"
+    ):
         from ..attacks.sweeps import GRIDS
 
-        strengths = list(GRIDS[
-            "snrs_db_speaker" if args.type == "snr_audio"
-            else "audio_alphas_speaker"
-        ])
+        strengths = list(GRIDS[{
+            "snr_audio": "snrs_db_speaker",
+            "mixture_audio": "audio_alphas_speaker",
+            # `Speaker recognition/attacks.py:336`: audio-domain white noise
+            # overrides sigmas to linspace(0, 0.005, 10)
+            "white_audio": "audio_sigmas_speaker",
+        }[args.type]])
     elif args.type == "fgsm" and not std_before:
         # reference grid switch: attacks on raw (un-standardized) MFCCs use
         # eps = linspace(1, 30, 50) instead of linspace(0.01, 0.3, 10)

@@ -121,7 +121,9 @@ class TestWhitebox:
                             key=jax.random.PRNGKey(0))
         delta = np.asarray(adv) - np.asarray(xs)
         changed = (np.abs(delta) > 1e-9).sum(axis=1)
-        assert changed.max() <= int(0.2 * x.shape[1]) + 1
+        # ART budget semantics: loop continues while distinct-modified
+        # fraction <= gamma, so at most one pair lands past the budget.
+        assert changed.max() <= int(0.2 * x.shape[1]) + 2
         assert (delta >= -1e-9).all()  # theta>0 only increases
 
     def test_carlini_l2_finds_small_perturbations(self, trained):
