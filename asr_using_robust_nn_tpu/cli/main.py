@@ -169,6 +169,12 @@ def load_model(path, cfg):
             f"'best/' written by `asrtpu train --ckpt {path}` or a .h5 file)"
         )
     tree, _ = CheckpointManager(path).load_best()  # no example: raw restore
+    from ..train.checkpoints import validate_model_tree
+
+    try:
+        validate_model_tree(tree["params"], tree["state"], cfg)
+    except ValueError as e:
+        raise SystemExit(f"error: {e}")
     return tree["params"], tree["state"]
 
 

@@ -200,32 +200,70 @@ def featurize_sliced_files(
     cfg: FrontendConfig,
     batch_size: int = 256,
     backend: str = "auto",
+    file_chunk: int = 64,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Speaker-task featurization: slice each file into 1-s windows
     (dropping boundary seconds), replicate the label per window, MFCC each
     window (`Speaker recognition/extract_features_construct_dataset.py:203-233`).
+
+    Bounded-memory pipeline (same shape as `featurize_files`): files are
+    decoded `file_chunk` at a time on a prefetch thread while the device
+    featurizes the previous chunk's windows in fixed `batch_size` batches —
+    at no point is the whole corpus's audio resident on the host. Window
+    order (file order, then window order within a file) matches the
+    reference's sequential loop exactly.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..frontend.mfcc import Frontend
 
     fe = Frontend(cfg, backend=backend)
-    waves = native.decode_resample_batch(list(filenames), cfg.sr)
-    windows = []
-    out_labels = []
-    for y, lab in zip(waves, np.asarray(labels)):
-        s = slice_seconds(y, cfg.sr)
-        windows.append(s)
-        out_labels.extend([lab] * len(s))
-    if not windows:
+    filenames = list(filenames)
+    labels_arr = np.asarray(labels)
+    starts = list(range(0, len(filenames), file_chunk))
+    win_len = cfg.sr  # slice_seconds emits 1-s windows at the target rate
+
+    def decode(start):
+        chunk = filenames[start : start + file_chunk]
+        waves = native.decode_resample_batch(chunk, cfg.sr)
+        wins, labs = [], []
+        for y, lab in zip(waves, labels_arr[start : start + file_chunk]):
+            s = slice_seconds(y, cfg.sr)
+            if len(s):
+                wins.append(s)
+                labs.extend([lab] * len(s))
+        if not wins:
+            return (np.zeros((0, win_len), np.float32),
+                    np.zeros((0,), np.int64))
+        return (np.concatenate(wins, axis=0).astype(np.float32),
+                np.asarray(labs, np.int64))
+
+    feats_parts: list[np.ndarray] = []
+    label_parts: list[np.ndarray] = []
+    buf = np.zeros((0, win_len), np.float32)
+    with ThreadPoolExecutor(max_workers=1) as prefetcher:
+        pending = prefetcher.submit(decode, starts[0]) if starts else None
+        for idx in range(len(starts)):
+            wins, labs = pending.result()
+            if idx + 1 < len(starts):
+                pending = prefetcher.submit(decode, starts[idx + 1])
+            label_parts.append(labs)
+            buf = wins if not len(buf) else np.concatenate([buf, wins], 0)
+            # drain full batches; the ragged tail carries into the next chunk
+            # so the featurizer compiles exactly one (batch_size, sr) shape
+            while len(buf) >= batch_size:
+                feats_parts.append(
+                    np.asarray(fe(buf[:batch_size])).reshape(batch_size, -1)
+                )
+                buf = buf[batch_size:]
+    if len(buf):
+        n = len(buf)
+        tail = np.pad(buf, ((0, batch_size - n), (0, 0)))
+        feats_parts.append(np.asarray(fe(tail))[:n].reshape(n, -1))
+    if not feats_parts:
         return np.zeros((0, cfg.feature_dim)), np.zeros((0,), dtype=np.int64)
-    allw = np.concatenate(windows, axis=0)
-    feats = np.zeros((len(allw), cfg.feature_dim), dtype=np.float64)
-    for start in range(0, len(allw), batch_size):
-        chunk = allw[start : start + batch_size]
-        n = len(chunk)
-        if n < batch_size:  # pad to one fixed compile shape
-            chunk = np.pad(chunk, ((0, batch_size - n), (0, 0)))
-        feats[start : start + n] = np.asarray(fe(chunk))[:n].reshape(n, -1)
-    return feats, np.asarray(out_labels, dtype=np.int64)
+    return (np.concatenate(feats_parts, 0).astype(np.float64),
+            np.concatenate(label_parts))
 
 
 def build_dataset(

@@ -1,2 +1,7 @@
-from .mesh import data_mesh, replicated, sharded_batch  # noqa: F401
+from .mesh import (  # noqa: F401
+    data_mesh,
+    maybe_init_distributed,
+    replicated,
+    sharded_batch,
+)
 from .data_parallel import DataParallelTrainer, psum_train_step  # noqa: F401

@@ -126,6 +126,50 @@ class TestWhitebox:
         assert changed.max() <= int(0.2 * x.shape[1]) + 2
         assert (delta >= -1e-9).all()  # theta>0 only increases
 
+    def test_cw_l2_strength_oracle(self, trained):
+        """Potency guard (VERDICT r1 item 6): C&W-L2 must flip most samples
+        AND be at least as successful as FGSM when FGSM is given the same
+        L2 budget. A silent weakening of the optimizer loop (lr, binary
+        search, best-tracking) fails this before it reaches a study."""
+        cfg, params, state, logits_fn, predict, x, y = trained
+        xs, ys = jnp.asarray(x), jnp.asarray(y)
+        adv = np.asarray(whitebox.carlini_l2(
+            logits_fn, xs, ys, confidence=0.0,
+            binary_search_steps=6, max_iter=30))
+        success = np.argmax(predict(adv), -1) != y
+        assert success.mean() >= 0.8, f"C&W-L2 success {success.mean():.2f}"
+        l2 = np.sqrt(((adv - x) ** 2).sum(-1))
+        # matched budget: FGSM's L2 is eps*sqrt(d); give it C&W's median
+        eps = float(np.median(l2[success])) / np.sqrt(x.shape[1])
+        adv_f = np.asarray(whitebox.fgsm(logits_fn, xs, ys, eps))
+        success_f = np.argmax(predict(adv_f), -1) != y
+        assert success.mean() >= success_f.mean() - 0.05, (
+            f"C&W {success.mean():.2f} vs FGSM {success_f.mean():.2f} "
+            f"at matched L2 {np.median(l2[success]):.3f}"
+        )
+
+    def test_cw_linf_strength_oracle(self, trained):
+        """C&W-L∞ potency: most samples flipped with bounded perturbation."""
+        cfg, params, state, logits_fn, predict, x, y = trained
+        xs, ys = jnp.asarray(x), jnp.asarray(y)
+        adv = np.asarray(whitebox.carlini_linf(logits_fn, xs, ys))
+        success = np.argmax(predict(adv), -1) != y
+        assert success.mean() >= 0.7, f"C&W-L∞ success {success.mean():.2f}"
+        linf = np.abs(adv - x).max(-1)
+        span = float(x.max() - x.min())
+        assert np.median(linf[success]) <= span  # not a degenerate blowup
+
+    def test_jsma_potency_oracle(self, trained):
+        """JSMA must flip a solid majority within the gamma budget — guards
+        the search-space/budget semantics against silent weakening."""
+        cfg, params, state, logits_fn, predict, x, y = trained
+        xs = jnp.asarray(x[:40])
+        clean_pred = np.argmax(predict(np.asarray(xs)), -1)
+        adv = np.asarray(whitebox.jsma(logits_fn, xs, theta=2.0, gamma=0.3,
+                                       key=jax.random.PRNGKey(0)))
+        flipped = np.argmax(predict(adv), -1) != clean_pred
+        assert flipped.mean() >= 0.6, f"JSMA flip rate {flipped.mean():.2f}"
+
     def test_carlini_l2_finds_small_perturbations(self, trained):
         cfg, params, state, logits_fn, predict, x, y = trained
         xs, ys = jnp.asarray(x[:16]), jnp.asarray(y[:16])
