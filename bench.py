@@ -80,6 +80,40 @@ def _time_chain(fn, x0, n_iter: int, rtt: float) -> float:
     return max(dt - rtt, 1e-9) / n_iter
 
 
+# bf16 MXU peak per chip, by jax device_kind. Used only to turn measured
+# FLOP/s into an MFU fraction; FLOP counts themselves are analytic (below).
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e datasheet: 197 TFLOP/s bf16
+    "TPU v5": 459e12,       # v5p
+    "TPU v6 lite": 918e12,  # v6e (Trillium)
+}
+
+
+def frontend_flops_per_utt(cfg) -> float:
+    """Analytic MXU FLOPs for one utterance through the fused MFCC kernel.
+
+    Dominant GEMMs (ops/mfcc_xla.py): framed windows (F x n_fft) against the
+    real+imag DFT bases (n_fft x n_freq each; halved per dft_split_level),
+    mel projection (n_freq x n_mels), DCT (n_mels x n_mfcc). 2*M*K*N per GEMM.
+    """
+    f = cfg.num_frames(cfg.sr)  # 1-second utterance at cfg.sr
+    dft = 2.0 * f * cfg.n_fft * cfg.n_freq * 2  # real + imag
+    dft /= 2 ** cfg.dft_split_levels
+    mel = 2.0 * f * cfg.n_freq * cfg.n_mels
+    dct = 2.0 * f * cfg.n_mels * cfg.n_mfcc
+    return dft + mel + dct
+
+
+def train_step_flops_per_utt(mcfg) -> float:
+    """Analytic matmul FLOPs for one example through one Adam train step:
+    2*d_in*d_out per layer forward, 2x that for dW and 2x for dX on the
+    backward pass (6x total, standard transformer-accounting convention)."""
+    dims = (mcfg.in_dim,) + tuple(mcfg.hidden) + (mcfg.n_classes,)
+    fwd = sum(2.0 * a * b for a, b in zip(dims[:-1], dims[1:]))
+    return 3.0 * fwd
+
+
 def measure_tpu(quick: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
@@ -120,6 +154,14 @@ def measure_tpu(quick: bool = False) -> dict:
     t_xla = _time_chain(lambda w: mfcc_xla_batch(w, cfg), waves, n_iter, rtt)
     t_mfcc = min(t for t in (t_pallas, t_xla) if t is not None)
     mfcc_utts_per_s = b_mfcc / t_mfcc
+
+    # Stage 1b: speaker frontend preset (odd n_fft=441: no radix-2 split,
+    # the GEMM formulation's stress shape — VERDICT r1 weak-item 3).
+    scfg = FrontendConfig.speaker()
+    t_speaker = _time_chain(
+        lambda w: mfcc_xla_batch(w, scfg), waves, n_iter, rtt
+    )
+    speaker_utts_per_s = b_mfcc / t_speaker
 
     # Stage 2: constrained training step (digit recipe: batch 512, NonNeg +
     # simple_norm rho=0.1 in-step projection).
@@ -169,6 +211,34 @@ def measure_tpu(quick: bool = False) -> dict:
     t_train = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iter_train
     train_utts_per_s = bs / t_train
 
+    # Stage 2b: fused device-resident epoch at reference scale (the whole
+    # digit train split in HBM, one lax.scan epoch per dispatch —
+    # train/epoch_scan.py; headline number promised in BASELINE.md).
+    from asr_using_robust_nn_tpu.train.epoch_scan import build_epoch_fn
+
+    n_true = 4096 if quick else 16566  # reference digit train-split rows
+    n_epochs_chain = 4 if quick else 8
+    n_pad = ((n_true + bs - 1) // bs) * bs
+    ep_fn = build_epoch_fn(mcfg, trainer.optimizer, constraint=con.apply,
+                           batch_size=bs, epochs_per_call=n_epochs_chain)
+    data = jax.device_put(
+        rng.standard_normal((n_pad, 880)).astype(np.float32))
+    lab = jax.device_put(
+        np.resize(rng.integers(0, 10, n_true).astype(np.int32), n_pad))
+    pk, dk = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+
+    def fresh_trees(seed):
+        p, s = init_mlp(mcfg, jax.random.PRNGKey(seed))
+        return p, s, trainer.optimizer.init(p), con.init(p)
+
+    out = ep_fn(*fresh_trees(10), data, lab, pk, dk, n_true=n_true)
+    float(np.asarray(out[4]))  # compile + settle
+    trees = fresh_trees(11)  # fresh buffers: axon memoizes identical runs
+    t0 = time.perf_counter()
+    out = ep_fn(*trees, data, lab, pk, dk, n_true=n_true)
+    float(np.asarray(out[4]))
+    t_epoch = max(time.perf_counter() - t0 - rtt, 1e-9) / n_epochs_chain
+
     # Stage 3: FGSM adversarial eval (generate adversarial batch + predict).
     def logits_fn(xx):
         return apply_mlp(mcfg, params2, state2, xx, train=False)[0]
@@ -183,12 +253,41 @@ def measure_tpu(quick: bool = False) -> dict:
     # Composite: one utterance featurized + trained on (1 epoch ~ 1 visit) +
     # FGSM-evaluated.
     per_utt = t_mfcc / b_mfcc + t_train / bs + t_fgsm / bs
+
+    # MFU: analytic GEMM FLOPs over measured wall time vs the chip's bf16
+    # MXU peak (VERDICT r1 "what's weak" 3 / next-round 10).
+    peak = _PEAK_BF16.get(jax.devices()[0].device_kind)
+    fe_flops = frontend_flops_per_utt(cfg) * mfcc_utts_per_s
+    sp_flops = frontend_flops_per_utt(scfg) * speaker_utts_per_s
+    tr_flops = train_step_flops_per_utt(mcfg) * train_utts_per_s
+    ep_flops = train_step_flops_per_utt(mcfg) * n_true / t_epoch
     return {
         "mfcc_utts_per_s": mfcc_utts_per_s,
         "mfcc_backend": "pallas" if t_mfcc == t_pallas else "xla",
+        "mfcc_speaker_utts_per_s": speaker_utts_per_s,
         "train_utts_per_s": train_utts_per_s,
+        "fused_epoch_ms": t_epoch * 1e3,
+        "fused_epoch_rows": n_true,
         "fgsm_utts_per_s": fgsm_utts_per_s,
         "pipeline_utts_per_s": 1.0 / per_utt,
+        "flops_per_s": {
+            "frontend_digit": fe_flops,
+            "frontend_speaker": sp_flops,
+            "train_step": tr_flops,
+            "fused_epoch": ep_flops,
+        },
+        "mfu_vs_bf16_peak": (
+            {
+                "frontend_digit": fe_flops / peak,
+                "frontend_speaker": sp_flops / peak,
+                "train_step": tr_flops / peak,
+                "fused_epoch": ep_flops / peak,
+                "peak_flops_assumed": peak,
+                "device_kind": jax.devices()[0].device_kind,
+            }
+            if peak
+            else None
+        ),
         "rtt_ms": rtt * 1e3,
         "backend": jax.default_backend(),
     }
