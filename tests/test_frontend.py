@@ -175,6 +175,60 @@ class TestFftVariant:
             np.testing.assert_allclose(got[i], want, atol=2e-3, rtol=1e-4)
 
 
+class TestInt8Variant:
+    """ops/mfcc_int8.py: six-int8-matmul rDFT (digit decomposition)."""
+
+    @pytest.mark.parametrize("cfg", [DIGIT, SPEAKER], ids=["digit", "speaker"])
+    def test_matches_oracle_with_amplitude_spread(self, cfg, rng):
+        from asr_using_robust_nn_tpu.ops.mfcc_int8 import mfcc_int8_batch
+
+        # amplitudes spanning 50x: exercises the per-row block scaling
+        amps = np.array([0.02, 0.2, 1.0, 0.5])[:, None]
+        waves = (rng.standard_normal((4, 22050)) * amps).astype(np.float32)
+        got = np.asarray(mfcc_int8_batch(waves, cfg))
+        for i in range(4):
+            want = frontend_ref.mfcc_fixed_length_ref(
+                waves[i], cfg.utterance_length, sr=cfg.sr, n_fft=cfg.n_fft,
+                hop_length=cfg.hop_length, win_length=cfg.win_length,
+            )
+            np.testing.assert_allclose(got[i], want, atol=1e-3, rtol=1e-4)
+
+    def test_digit_reconstruction_exact_for_int16_audio(self, rng):
+        """int16-origin audio (the WAV decode path) is represented EXACTLY
+        by the three base-128 digits after block scaling."""
+        from asr_using_robust_nn_tpu.ops.mfcc_int8 import (
+            _X_SCALES, _wave_digits)
+
+        k = rng.integers(-32768, 32768, (3, 1000)).astype(np.float32)
+        y = k / 32768.0
+        digits, f = _wave_digits(y)
+        rec = sum(
+            np.asarray(d).astype(np.float64) * s
+            for d, s in zip(digits, _X_SCALES)
+        ) / np.asarray(f)[:, None]
+        np.testing.assert_allclose(rec, y.astype(np.float64), atol=0)
+
+    def test_lengths_masking_matches_xla(self, rng):
+        from asr_using_robust_nn_tpu.ops.mfcc_int8 import mfcc_int8_batch
+
+        waves = (rng.standard_normal((3, 22050)) * 0.1).astype(np.float32)
+        lengths = np.array([22050, 11025, 700])
+        for i, L in enumerate(lengths):
+            waves[i, L:] = 0
+        a = np.asarray(mfcc_int8_batch(waves, DIGIT, lengths=lengths))
+        b = np.asarray(mfcc_xla_batch(waves, DIGIT, lengths=lengths))
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+    def test_silent_input(self):
+        from asr_using_robust_nn_tpu.ops.mfcc_int8 import mfcc_int8_batch
+
+        got = np.asarray(mfcc_int8_batch(np.zeros((1, 22050), np.float32),
+                                         DIGIT))
+        assert np.isfinite(got).all()
+        want = frontend_ref.mfcc_fixed_length_ref(np.zeros(22050), 44)
+        np.testing.assert_allclose(got[0], want, atol=2e-3)
+
+
 class TestOddNfftFrameCount:
     def test_speaker_length_divisible_by_hop(self, rng):
         """Odd n_fft (441) + length divisible by hop (220): librosa yields
