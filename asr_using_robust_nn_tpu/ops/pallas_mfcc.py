@@ -34,7 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mfcc_xla import FrontendConfig, finish_mfcc_from_mel, frame_signal
 
-__all__ = ["mel_power_pallas", "mfcc_pallas_batch"]
+__all__ = [
+    "mel_power_pallas",
+    "mfcc_pallas_batch",
+    "mel_power_int8_pallas",
+    "mfcc_pallas_int8_batch",
+]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -146,6 +151,174 @@ def mel_power_pallas(
         interpret=interpret,
     )(f2d, cr_p, ci_p, mel_tp)
     return mel[:rows].reshape(b, n_frames, n_mels)
+
+
+def _int8_dft_power_mel_kernel(
+    f0_ref, f1_ref, f2_ref, cr0_ref, cr1_ref, cr2_ref,
+    ci0_ref, ci1_ref, ci2_ref, melt_ref, out_ref, *, weights,
+):
+    """Fused int8-digit rDFT -> |.|^2 -> mel partial (see ops/mfcc_int8.py
+    for the decomposition math). 12 int8 MXU dots per program, exact int32
+    accumulation, f32 combine; the (rows, n_freq) power spectrogram never
+    leaves VMEM."""
+    j = pl.program_id(1)
+    w00, w01, w10, w11, w02, w20 = [jnp.float32(w) for w in weights]
+
+    def side(c0_ref, c1_ref, c2_ref):
+        def d(f_ref, c_ref):
+            return jnp.dot(
+                f_ref[:], c_ref[:], preferred_element_type=jnp.int32
+            )
+
+        acc = d(f0_ref, c2_ref).astype(jnp.float32) * w02
+        acc += d(f2_ref, c0_ref).astype(jnp.float32) * w20
+        acc += d(f1_ref, c1_ref).astype(jnp.float32) * w11
+        acc += d(f0_ref, c1_ref).astype(jnp.float32) * w01
+        acc += d(f1_ref, c0_ref).astype(jnp.float32) * w10
+        acc += d(f0_ref, c0_ref).astype(jnp.float32) * w00
+        return acc
+
+    re = side(cr0_ref, cr1_ref, cr2_ref)
+    im = side(ci0_ref, ci1_ref, ci2_ref)
+    power = re * re + im * im
+    mel = jnp.dot(power, melt_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision("highest"))
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = mel
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + mel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "row_tile", "k_tile", "interpret")
+)
+def mel_power_int8_pallas(
+    waves: jnp.ndarray,
+    cfg: FrontendConfig,
+    row_tile: int = 256,
+    k_tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused int8 rDFT+power+mel: (B, L) raw waves -> (B, T, n_mels) mel
+    power at f32 parity (ops/mfcc_int8.py decomposition) and int8 MXU rate.
+
+    Returns mel power with the per-row block scaling ALREADY undone.
+    """
+    from .mfcc_int8 import _const_digits, _wave_digits, _X_SCALES
+
+    b, n_samples = waves.shape
+    n_frames = cfg.num_frames(n_samples)
+
+    cr64, ci64 = [m.astype(np.float64) for m in cfg.constants(np.float64)[:2]]
+    _, _, mel_t, _ = cfg.constants(np.float32)
+    n_fft_pad = _round_up(cfg.n_fft, 128)
+    n_freq_pad = _round_up(cfg.n_freq, k_tile)
+    n_mels = cfg.n_mels
+
+    def pad_c(c64):
+        digs = _const_digits(c64)
+        out = []
+        for d, s in digs:
+            p = np.zeros((n_fft_pad, n_freq_pad), np.int8)
+            p[: cfg.n_fft, : cfg.n_freq] = d
+            out.append((p, s))
+        return out
+
+    cr_d, ci_d = pad_c(cr64), pad_c(ci64)
+    mel_tp = np.zeros((n_freq_pad, n_mels), np.float32)
+    mel_tp[: cfg.n_freq] = mel_t
+
+    pad = cfg.n_fft // 2
+    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)),
+                   mode=cfg.pad_mode)
+    y_digits, f = _wave_digits(ypad)
+
+    rows = b * n_frames
+    rows_pad = _round_up(rows, row_tile)
+
+    def frames_of(d):
+        fr = frame_signal(d, n_frames, cfg.n_fft, cfg.hop_length)
+        fr = fr.reshape(rows, cfg.n_fft)
+        return jnp.pad(fr, ((0, rows_pad - rows), (0, n_fft_pad - cfg.n_fft)))
+
+    f2d = [frames_of(d) for d in y_digits]
+    weights = [
+        _X_SCALES[0] * cr_d[0][1],  # w00 (cr/ci share scales: same matrix
+        _X_SCALES[0] * cr_d[1][1],  # w01  magnitude; asserted below)
+        _X_SCALES[1] * cr_d[0][1],  # w10
+        _X_SCALES[1] * cr_d[1][1],  # w11
+        _X_SCALES[0] * cr_d[2][1],  # w02
+        _X_SCALES[2] * cr_d[0][1],  # w20
+    ]
+    assert [s for _, s in cr_d] == [s for _, s in ci_d], (
+        "cr/ci digit scales diverge; pass per-side weights instead"
+    )
+
+    grid = (rows_pad // row_tile, n_freq_pad // k_tile)
+    row_spec = pl.BlockSpec((row_tile, n_fft_pad), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((n_fft_pad, k_tile), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    mel = pl.pallas_call(
+        functools.partial(_int8_dft_power_mel_kernel,
+                          weights=tuple(weights)),
+        grid=grid,
+        in_specs=[row_spec] * 3 + [c_spec] * 6 + [
+            pl.BlockSpec((k_tile, n_mels), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_tile, n_mels), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, n_mels), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * n_fft_pad * n_freq_pad * 12
+            + 2 * rows_pad * n_freq_pad * n_mels,
+            bytes_accessed=(3 * rows_pad * n_fft_pad
+                            + rows_pad * n_mels * 4)
+            + (6 * n_fft_pad * n_freq_pad + n_freq_pad * n_mels * 4)
+            * grid[0],
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        f2d[0], f2d[1], f2d[2],
+        jnp.asarray(cr_d[0][0]), jnp.asarray(cr_d[1][0]),
+        jnp.asarray(cr_d[2][0]),
+        jnp.asarray(ci_d[0][0]), jnp.asarray(ci_d[1][0]),
+        jnp.asarray(ci_d[2][0]),
+        jnp.asarray(mel_tp),
+    )
+    mel = mel[:rows].reshape(b, n_frames, n_mels)
+    return mel * (f ** -2)[:, None, None]  # undo per-row block scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "row_tile", "k_tile", "interpret")
+)
+def mfcc_pallas_int8_batch(
+    waves: jnp.ndarray,
+    cfg: FrontendConfig,
+    lengths: jnp.ndarray | None = None,
+    row_tile: int = 256,
+    k_tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full MFCC via the fused int8 Pallas kernel + shared XLA db/DCT
+    finish. Same contract as ops.mfcc_xla.mfcc_xla_batch."""
+    b, n_samples = waves.shape
+    n_frames = cfg.num_frames(n_samples)
+    mel = mel_power_int8_pallas(
+        waves, cfg, row_tile=row_tile, k_tile=k_tile, interpret=interpret
+    )
+    _, _, _, dct_t = cfg.constants(np.float32)
+    prec = jax.lax.Precision(cfg.precision.lower())
+    return finish_mfcc_from_mel(
+        mel, cfg, lengths, b, n_frames, jnp.asarray(dct_t), prec
+    )
 
 
 @functools.partial(

@@ -229,6 +229,26 @@ class TestInt8Variant:
         np.testing.assert_allclose(got[0], want, atol=2e-3)
 
 
+class TestInt8PallasFused:
+    """ops/pallas_mfcc.py::mfcc_pallas_int8_batch (interpret mode: the
+    Mosaic path needs a real TPU; this pins the kernel's math)."""
+
+    @pytest.mark.parametrize("cfg", [DIGIT, SPEAKER], ids=["digit", "speaker"])
+    def test_matches_oracle(self, cfg, rng):
+        from asr_using_robust_nn_tpu.ops.pallas_mfcc import (
+            mfcc_pallas_int8_batch)
+
+        amps = np.array([0.05, 0.3, 1.0])[:, None]
+        waves = (rng.standard_normal((3, 22050)) * amps).astype(np.float32)
+        got = np.asarray(mfcc_pallas_int8_batch(waves, cfg, interpret=True))
+        for i in range(3):
+            want = frontend_ref.mfcc_fixed_length_ref(
+                waves[i], cfg.utterance_length, sr=cfg.sr, n_fft=cfg.n_fft,
+                hop_length=cfg.hop_length, win_length=cfg.win_length,
+            )
+            np.testing.assert_allclose(got[i], want, atol=1e-3, rtol=1e-4)
+
+
 class TestOddNfftFrameCount:
     def test_speaker_length_divisible_by_hop(self, rng):
         """Odd n_fft (441) + length divisible by hop (220): librosa yields
