@@ -5,21 +5,34 @@ Usage:
     feats = fe(waves)                              # (B, 20, 44)
     flat = fe.flat(waves)                          # (B, 880) reference layout
 
-backend='auto' resolves to the pure-XLA path: measured on a v5e chip
-(RTT-subtracted, cache/DCE-proof), XLA's lowering of the GEMM chain beats
-the Pallas kernel in BOTH precision regimes (highest: 13.1 ms vs 19-22 ms
-per 1024 utterances; default: 1.9 ms vs 8.9 ms) — Mosaic's multi-pass f32
-matmul costs more than the Pallas kernel saves in HBM traffic at these
-sizes. The Pallas kernel stays available via backend='pallas' (and is the
-template for fusing further stages into the frontend).
+backend='auto' resolves per preset from v5e measurements (RTT-subtracted,
+cache/DCE-proof, 1024 utterances, parity vs the f64 oracle in parens):
+
+    digit (n_fft=2048):  int8 digit-decomposition  11.1 ms (4.4e-4)  <- auto
+                         xla precision=HIGHEST     13.5 ms (4.5e-4)
+                         pallas-int8 fused         14.1 ms (4.4e-4)
+                         pallas f32 HIGHEST        19.6 ms (4.5e-4)
+    speaker (n_fft=441): xla precision=HIGHEST      4.1 ms           <- auto
+                         int8 digit-decomposition   4.7 ms
+
+The int8 path (ops/mfcc_int8.py) runs the rDFT as six exact int8 MXU
+matmuls — the v5e MXU's 2x int8-vs-bf16 rate beats HIGHEST's 6-pass bf16
+emulation when the DFT matmul is large (K = n_fft = 2048); at the speaker
+preset's K=441 the digitize/accumulate overhead eats the saving, so auto
+keeps plain XLA there. The crossover is gated on n_fft >= 1024. Mosaic's
+multi-pass f32 matmul keeps the Pallas kernels behind XLA at both presets
+(fused pallas-int8 14.1 ms: the VMEM power-spectrum saving is smaller than
+XLA's better matmul schedule); they stay available via backend='pallas' /
+'pallas_int8' as fusion templates.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from ..ops.mfcc_int8 import mfcc_int8_batch
 from ..ops.mfcc_xla import FrontendConfig, mfcc_xla_batch
-from ..ops.pallas_mfcc import mfcc_pallas_batch
+from ..ops.pallas_mfcc import mfcc_pallas_batch, mfcc_pallas_int8_batch
 
 __all__ = ["Frontend"]
 
@@ -32,10 +45,19 @@ class Frontend:
     recogniton/extract_features_construct_dataset.py:24-39`).
     """
 
+    _BACKENDS = {
+        "xla": mfcc_xla_batch,
+        "int8": mfcc_int8_batch,
+        "pallas": mfcc_pallas_batch,
+        "pallas_int8": mfcc_pallas_int8_batch,
+    }
+
     def __init__(self, cfg: FrontendConfig, backend: str = "auto"):
         if backend == "auto":
-            backend = "xla"
-        if backend not in ("xla", "pallas"):
+            # measured v5e crossover (module docstring): the int8 rDFT wins
+            # when the DFT matmul is MXU-bound, i.e. large n_fft.
+            backend = "int8" if cfg.n_fft >= 1024 else "xla"
+        if backend not in self._BACKENDS:
             raise ValueError(f"unknown frontend backend {backend!r}")
         self.cfg = cfg
         self.backend = backend
@@ -44,9 +66,7 @@ class Frontend:
         waves = np.ascontiguousarray(waves, dtype=np.float32) if isinstance(
             waves, np.ndarray
         ) else waves
-        if self.backend == "pallas":
-            return mfcc_pallas_batch(waves, self.cfg, lengths=lengths)
-        return mfcc_xla_batch(waves, self.cfg, lengths=lengths)
+        return self._BACKENDS[self.backend](waves, self.cfg, lengths=lengths)
 
     def flat(self, waves, lengths=None):
         """Features flattened to (B, n_mfcc * T) — the .npy artifact layout

@@ -139,8 +139,11 @@ def measure_tpu(quick: bool = False) -> dict:
 
     rtt = _measure_rtt(waves)
 
-    # Stage 1: frontend. Measured for both kernels; XLA wins on v5e (see
-    # frontend/mfcc.py), pallas kept for comparison.
+    # Stage 1: frontend. All kernels measured; the int8 digit-decomposition
+    # rDFT wins the digit preset on v5e (frontend/mfcc.py decision table),
+    # pallas kept for comparison.
+    from asr_using_robust_nn_tpu.ops.mfcc_int8 import mfcc_int8_batch
+
     t_pallas = None
     try:
         from asr_using_robust_nn_tpu.ops.pallas_mfcc import mfcc_pallas_batch
@@ -152,7 +155,8 @@ def measure_tpu(quick: bool = False) -> dict:
     except Exception:
         t_pallas = None
     t_xla = _time_chain(lambda w: mfcc_xla_batch(w, cfg), waves, n_iter, rtt)
-    t_mfcc = min(t for t in (t_pallas, t_xla) if t is not None)
+    t_int8 = _time_chain(lambda w: mfcc_int8_batch(w, cfg), waves, n_iter, rtt)
+    t_mfcc = min(t for t in (t_pallas, t_xla, t_int8) if t is not None)
     mfcc_utts_per_s = b_mfcc / t_mfcc
 
     # Stage 1b: speaker frontend preset (odd n_fft=441: no radix-2 split,
@@ -263,7 +267,8 @@ def measure_tpu(quick: bool = False) -> dict:
     ep_flops = train_step_flops_per_utt(mcfg) * n_true / t_epoch
     return {
         "mfcc_utts_per_s": mfcc_utts_per_s,
-        "mfcc_backend": "pallas" if t_mfcc == t_pallas else "xla",
+        "mfcc_backend": ("pallas" if t_mfcc == t_pallas
+                         else "int8" if t_mfcc == t_int8 else "xla"),
         "mfcc_speaker_utts_per_s": speaker_utts_per_s,
         "train_utts_per_s": train_utts_per_s,
         "fused_epoch_ms": t_epoch * 1e3,

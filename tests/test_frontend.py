@@ -249,6 +249,30 @@ class TestInt8PallasFused:
             np.testing.assert_allclose(got[i], want, atol=1e-3, rtol=1e-4)
 
 
+class TestFrontendDispatcher:
+    """frontend/mfcc.py::Frontend — auto resolves per measured preset."""
+
+    def test_auto_selection_per_preset(self):
+        from asr_using_robust_nn_tpu.frontend.mfcc import Frontend
+
+        assert Frontend(DIGIT).backend == "int8"      # n_fft=2048: MXU-bound
+        assert Frontend(SPEAKER).backend == "xla"     # n_fft=441: overhead-bound
+        with pytest.raises(ValueError):
+            Frontend(DIGIT, backend="cudnn")
+
+    def test_auto_matches_xla_at_parity(self, rng):
+        from asr_using_robust_nn_tpu.frontend.mfcc import Frontend
+
+        waves = (rng.standard_normal((4, 22050)) * 0.3).astype(np.float32)
+        lengths = np.array([22050, 22050, 15000, 8000])
+        got = np.asarray(Frontend(DIGIT)(waves, lengths=lengths))
+        want = np.asarray(Frontend(DIGIT, backend="xla")(
+            waves, lengths=lengths))
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
+        flat = Frontend(DIGIT).flat(waves)
+        assert flat.shape == (4, DIGIT.n_mfcc * DIGIT.utterance_length)
+
+
 class TestOddNfftFrameCount:
     def test_speaker_length_divisible_by_hop(self, rng):
         """Odd n_fft (441) + length divisible by hop (220): librosa yields
