@@ -13,6 +13,7 @@ then promoted to a full study in `examples/robustness_study_hard.py`.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import shutil
@@ -24,7 +25,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from examples.hard_corpus import flip_labels, make_hard_corpus
+from examples.hard_corpus import (
+    flip_labels,
+    make_hard_corpus,
+    make_speaker_corpus,
+)
 
 from asr_using_robust_nn_tpu.attacks import whitebox
 from asr_using_robust_nn_tpu.attacks.sweeps import accuracy
@@ -55,35 +60,62 @@ def train_recipe(cfg, con, tr, ytr, dv, ydv, epochs, patience, batch, seed):
 
 
 def eval_cell(hard_kw, label_noise, rho, epochs_u, epochs_c, seed,
-              fgsm_eps, noise_sigmas):
+              fgsm_eps, noise_sigmas, task="digit"):
     import jax
     import jax.numpy as jnp
 
     root = tempfile.mkdtemp(prefix="hard_")
     try:
-        corpus = make_hard_corpus(root, seed=seed, **hard_kw)
-        splits = build_dataset(corpus, "digit", seed=seed)
+        if task == "digit":
+            corpus = make_hard_corpus(root, seed=seed, **hard_kw)
+            n_classes = 10
+            # BN + dropout(0.4) everywhere: the reference's digit pairing
+            # regularizes BOTH recipes (`VD/train_no_constraints.py:52-75`)
+            recipes = [
+                ("unconstrained", MLPConfig.digit_unconstrained(), None,
+                 epochs_u, 256),
+                ("constrained", MLPConfig.digit_constrained(),
+                 make_simple_norm_constraint(rho, n_iter=8), epochs_c, 512),
+            ]
+        else:
+            corpus = make_speaker_corpus(root, seed=seed, **hard_kw)
+            n_classes = hard_kw.get("n_speakers", 20)
+            # the reference's speaker pairing: a completely UNREGULARIZED
+            # plain MLP (`SR/train_no_constraints.py:52-75` — no BN, no
+            # dropout) vs NonNeg+BN+simple_norm rho
+            # (`SR/train_constraints.py:41,97-105`, rho=1).
+            ucfg = MLPConfig.speaker_unconstrained()
+            ccfg = MLPConfig.speaker_constrained()
+            if n_classes != 20:
+                ucfg = dataclasses.replace(ucfg, n_classes=n_classes)
+                ccfg = dataclasses.replace(ccfg, n_classes=n_classes)
+            recipes = [
+                ("unconstrained", ucfg, None, epochs_u, 64),
+                ("constrained", ccfg,
+                 make_simple_norm_constraint(rho, n_iter=8), epochs_c, 64),
+            ]
+        splits = build_dataset(corpus, task, seed=seed)
         tr, dv, te, mean, scale = standardize_fit_all(
             splits.train_data, splits.dev_data, splits.test_data
         )
-        ytr = flip_labels(splits.train_label, label_noise, 10, seed)
-        ydv = flip_labels(splits.dev_label, label_noise, 10, seed + 7)
+        ytr = flip_labels(splits.train_label, label_noise, n_classes, seed)
+        ydv = flip_labels(splits.dev_label, label_noise, n_classes, seed + 7)
         yte = splits.test_label  # test labels stay clean
 
-        out = {"hard": hard_kw, "label_noise": label_noise, "rho": rho,
-               "n_train": int(len(tr)), "models": {}}
-        for name, cfg, con, n_ep, pat, batch in [
-            ("unconstrained", MLPConfig.digit_unconstrained(), None,
-             epochs_u, max(150, epochs_u // 4), 256),
-            ("constrained", MLPConfig.digit_constrained(),
-             make_simple_norm_constraint(rho, n_iter=8),
-             epochs_c, max(1500, epochs_c // 2), 512),
-        ]:
+        out = {"task": task, "hard": hard_kw, "label_noise": label_noise,
+               "rho": rho, "n_train": int(len(tr)), "models": {}}
+        # patience == epochs: never stop early (the interpolation regime is
+        # the point — reference patience is 200-6000 of 10000 anyway); the
+        # best-on-dev checkpoint is still what gets evaluated, same as the
+        # reference's ModelCheckpoint(save_best_only=True).
+        for name, cfg, con, n_ep, batch in recipes:
+            pat = n_ep
             t0 = time.time()
             trainer, params, state = train_recipe(
                 cfg, con, tr, ytr, dv, ydv, n_ep, pat, batch, seed
             )
             _, clean = trainer.evaluate(params, state, te, yte)
+            _, fit = trainer.evaluate(params, state, tr, ytr)  # interpolation?
             lip = float(get_lipschitz_constrained(cfg, params, state))
 
             def logits_fn(x, cfg=cfg, params=params, state=state):
@@ -106,8 +138,16 @@ def eval_cell(hard_kw, label_noise, rho, epochs_u, epochs_c, seed,
                 pert = te + float(sg) * np.asarray(jax.random.normal(
                     jax.random.fold_in(key, i), te.shape))
                 noise_acc.append(accuracy(predict(pert), yte))
+            # margin: logit(true) - max other logit on clean test rows
+            lg = np.asarray(logits_fn(xte))
+            true_lg = lg[np.arange(len(yte)), yte]
+            lg2 = lg.copy()
+            lg2[np.arange(len(yte)), yte] = -np.inf
+            margins = true_lg - lg2.max(1)
             out["models"][name] = {
-                "clean": float(clean), "lipschitz": lip,
+                "clean": float(clean), "train_fit": float(fit),
+                "lipschitz": lip,
+                "median_margin": float(np.median(margins)),
                 "fgsm": fgsm_acc, "noise": noise_acc,
                 "train_s": round(time.time() - t0, 1),
             }
@@ -127,19 +167,33 @@ def eval_cell(hard_kw, label_noise, rho, epochs_u, epochs_c, seed,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/hardness/results.jsonl")
+    ap.add_argument("--task", default="digit", choices=["digit", "speaker"])
     ap.add_argument("--epochs-u", type=int, default=800)
     ap.add_argument("--epochs-c", type=int, default=4000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cells", default=None,
-                    help="JSON list of cell dicts; default = built-in grid")
+                    help="JSON list of cell dicts (or @file); "
+                         "default = built-in grid")
     args = ap.parse_args()
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
     fgsm_eps = [0.05, 0.1, 0.2, 0.4, 0.8]
-    noise_sigmas = [0.5, 1.0, 2.0, 4.0]
+    noise_sigmas = [1.0, 2.0, 4.0, 8.0]
 
     if args.cells:
-        cells = json.loads(args.cells)
+        if args.cells.startswith("@"):
+            with open(args.cells[1:]) as fh:
+                cells = json.load(fh)
+        else:
+            cells = json.loads(args.cells)
+    elif args.task == "speaker":
+        cells = []
+        for noise_hi, fj in [(0.12, 0.04), (0.2, 0.06), (0.3, 0.08)]:
+            cells.append(dict(
+                hard=dict(n_speakers=20, recordings=30, noise_hi=noise_hi,
+                          formant_jitter=fj, sr=22050),
+                label_noise=0.0, rho=1.0,
+            ))
     else:
         cells = []
         for jr, nf, ln in [
@@ -164,7 +218,8 @@ def main():
             t0 = time.time()
             r = eval_cell(cell["hard"], cell["label_noise"], cell["rho"],
                           args.epochs_u, args.epochs_c, args.seed,
-                          fgsm_eps, noise_sigmas)
+                          fgsm_eps, noise_sigmas,
+                          task=cell.get("task", args.task))
             r["cell"] = i
             f.write(json.dumps(r) + "\n")
             f.flush()
