@@ -7,6 +7,7 @@ from .engine import (  # noqa: F401
 )
 from .lipschitz import (  # noqa: F401
     get_lipschitz_constrained,
+    get_lipschitz_sound,
     get_norms,
     get_upper_lipschitz,
     lipschitz_monitor,

@@ -57,6 +57,26 @@ def get_lipschitz_constrained(cfg: MLPConfig, params, state) -> jnp.ndarray:
     return sigma / correction
 
 
+def get_lipschitz_sound(cfg: MLPConfig, params, state) -> jnp.ndarray:
+    """SOUND inference-time upper bound: prod_i ||W_i||_2 * BN gain, with
+    BN gain_i = max_j |gamma_ij| / sqrt(var_ij + eps).
+
+    The reference's `get_lipschitz_constrained` (`VD/extract_features_
+    construct_dataset.py:169-196`) *divides* by max(sqrt(var)/gamma) — a
+    heuristic that can understate the network's true gain when BatchNorm
+    amplifies (gamma > sqrt(var)); this is the certificate-grade bound the
+    round-1 study's "nominal-vs-sound" nuance refers to. ReLU/dropout(eval)
+    are 1-Lipschitz, so the product bounds the end-to-end constant."""
+    bound = jnp.asarray(1.0, dtype=jnp.float32)
+    for p, s in zip(params["layers"], state["layers"]):
+        bound = bound * jnp.linalg.norm(jnp.asarray(p["w"]), ord=2)
+        if cfg.batch_norm and "gamma" in p:
+            bound = bound * jnp.max(
+                jnp.abs(p["gamma"]) / jnp.sqrt(s["var"] + cfg.bn_eps)
+            )
+    return bound
+
+
 def lipschitz_monitor(cfg: MLPConfig, print_fn=print):
     """Epoch callback for Trainer(epoch_callbacks=...): prints per-layer
     norms and the end-to-end constant, like lip_stats_callback

@@ -23,6 +23,7 @@ from asr_using_robust_nn_tpu.constraints import (
 )
 from asr_using_robust_nn_tpu.models.mlp import (
     MLPConfig,
+    apply_mlp,
     dense_kernels,
     init_mlp,
 )
@@ -250,6 +251,48 @@ class TestLipschitzAnalyzers:
             )
         want = np.linalg.norm(prod, ord=2) / corr
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_sound_bound_no_bn_is_product_of_norms(self, params):
+        from asr_using_robust_nn_tpu.constraints import get_lipschitz_sound
+
+        cfg = MLPConfig(in_dim=12, n_classes=4, hidden=(16, 8, 8),
+                        dropout=(0.0,) * 3, batch_norm=False)
+        _, state = init_mlp(cfg, jax.random.PRNGKey(0))
+        got = float(get_lipschitz_sound(cfg, params, state))
+        want = float(np.prod([np.linalg.norm(np.asarray(w), ord=2)
+                              for w in dense_kernels(params)]))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_sound_bound_dominates_empirical_gain_with_bn(self, rng):
+        """The sound bound must upper-bound the measured input->logit
+        Jacobian norm even when BN amplifies (gamma >> sqrt(var)) — the
+        regime where the reference's divide-by-correction formula
+        understates the true gain."""
+        from asr_using_robust_nn_tpu.constraints import get_lipschitz_sound
+
+        cfg = MLPConfig(in_dim=12, n_classes=4, hidden=(16, 8),
+                        dropout=(0.0, 0.0), batch_norm=True)
+        params, state = init_mlp(cfg, jax.random.PRNGKey(1))
+        for i in range(2):
+            params["layers"][i]["gamma"] = jnp.asarray(
+                (rng.random(params["layers"][i]["gamma"].shape) * 4 + 2)
+                .astype(np.float32))   # amplifying BN
+            state["layers"][i]["var"] = jnp.asarray(
+                (rng.random(state["layers"][i]["var"].shape) * 0.5 + 0.1)
+                .astype(np.float32))
+        sound = float(get_lipschitz_sound(cfg, params, state))
+        nominal = float(get_lipschitz_constrained(cfg, params, state))
+
+        def f(x):
+            return apply_mlp(cfg, params, state, x[None], train=False)[0][0]
+
+        gains = []
+        for _ in range(16):
+            x = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+            jac = jax.jacobian(f)(x)
+            gains.append(float(jnp.linalg.norm(jac, ord=2)))
+        assert sound >= max(gains) * 0.999
+        assert sound >= nominal  # amplifying BN: heuristic understates
 
 
 class TestTrainingIntegration:
