@@ -5,3 +5,9 @@ from .mesh import (  # noqa: F401
     sharded_batch,
 )
 from .data_parallel import DataParallelTrainer, psum_train_step  # noqa: F401
+from .tensor_parallel import (  # noqa: F401
+    TensorParallelTrainer,
+    mlp_tp_specs,
+    shard_mlp,
+    tp_mesh,
+)

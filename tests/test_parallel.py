@@ -171,3 +171,114 @@ class TestShardedFrontend:
         sharded = jax.device_put(waves, NamedSharding(mesh, P("data")))
         got = np.asarray(mfcc_xla_batch(sharded, cfg))
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestTensorParallel:
+    """parallel/tensor_parallel.py — 2-D ('data','model') mesh, Megatron
+    alternation expressed as GSPMD placements; math must equal the
+    single-device trainer."""
+
+    def _mesh(self, n_data=4, n_model=2):
+        from asr_using_robust_nn_tpu.parallel import tp_mesh
+
+        return tp_mesh(n_data, n_model)
+
+    def test_specs_alternate(self):
+        from jax.sharding import PartitionSpec as P
+
+        from asr_using_robust_nn_tpu.parallel import mlp_tp_specs
+
+        p_specs, s_specs = mlp_tp_specs(cfg())
+        ls = p_specs["layers"]
+        assert ls[0]["w"] == P(None, "model")      # column-parallel
+        assert ls[0]["gamma"] == P("model")        # BN shards with features
+        assert ls[1]["w"] == P("model", None)      # row-parallel
+        assert ls[1]["b"] == P()
+        assert ls[2]["w"] == P(None, None)         # head input replicated
+        assert s_specs["layers"][0]["var"] == P("model")
+
+    def test_default_digit_config_is_shardable(self):
+        from asr_using_robust_nn_tpu.parallel.tensor_parallel import (
+            _check_divisible,
+        )
+
+        for n_model in (2, 4, 8):
+            _check_divisible(MLPConfig.digit_constrained(), n_model)
+            _check_divisible(MLPConfig.speaker_unconstrained(), n_model)
+
+    def test_indivisible_dim_rejected(self):
+        from asr_using_robust_nn_tpu.parallel import TensorParallelTrainer
+
+        with pytest.raises(ValueError):
+            TensorParallelTrainer(
+                cfg(hidden=(30, 16)), self._mesh(2, 4),
+                TrainConfig(batch_size=8),
+            )
+
+    def test_step_matches_single_device(self, rng):
+        """One constrained TP train step == the single-device step (same
+        init/batch/rng), and the updated kernels KEEP their TP shardings."""
+        from asr_using_robust_nn_tpu.constraints import (
+            make_simple_norm_constraint,
+        )
+        from asr_using_robust_nn_tpu.parallel import TensorParallelTrainer
+
+        x, y = task(rng, n=64)
+        c = cfg(nonneg=True)
+        p0, _ = init_mlp(c, jax.random.PRNGKey(0))
+        con = make_simple_norm_constraint(0.5, n_iter=8)
+        tcfg = TrainConfig(batch_size=64, epochs=1, seed=0)
+        tp = TensorParallelTrainer(
+            c, self._mesh(), tcfg,
+            constraint=con.apply, constraint_state=con.init(p0),
+        )
+        params, state, opt_state, cstate = tp.make_train_state(
+            jax.random.PRNGKey(0)
+        )
+        assert params["layers"][0]["w"].sharding.spec == (
+            jax.sharding.PartitionSpec(None, "model")
+        )
+        xb, yb = tp.place_batch(x, y)
+        out = tp.train_step(params, state, opt_state, cstate, xb, yb,
+                            jax.random.PRNGKey(1))
+        loss = float(out[4])
+
+        single = Trainer(c, tcfg, constraint=con.apply,
+                         constraint_state=con.init(p0))
+        sp, ss = init_mlp(c, jax.random.PRNGKey(0))
+        s_out = single.train_step(
+            sp, ss, single.optimizer.init(sp), con.init(sp),
+            jnp.asarray(x), jnp.asarray(y), jax.random.PRNGKey(1),
+        )
+        np.testing.assert_allclose(loss, float(s_out[4]), rtol=1e-5)
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out[0]["layers"][i]["w"]),
+                np.asarray(s_out[0]["layers"][i]["w"]),
+                atol=1e-5,
+            )
+        # updated params keep their TP placement (no silent resharding;
+        # trailing None is normalized away by jax)
+        P = jax.sharding.PartitionSpec
+        assert out[0]["layers"][1]["w"].sharding.spec in (
+            P("model"), P("model", None)
+        )
+
+    def test_multi_step_training_converges(self, rng):
+        from asr_using_robust_nn_tpu.parallel import TensorParallelTrainer
+
+        x, y = task(rng, n=256)
+        c = cfg()
+        tp = TensorParallelTrainer(c, self._mesh(), TrainConfig(batch_size=64))
+        params, state, opt_state, cstate = tp.make_train_state()
+        losses = []
+        for e in range(6):
+            for i in range(0, 256, 64):
+                xb, yb = tp.place_batch(x[i:i+64], y[i:i+64])
+                params, state, opt_state, cstate, loss, acc = tp.train_step(
+                    params, state, opt_state, cstate, xb, yb,
+                    jax.random.fold_in(jax.random.PRNGKey(2), e * 4 + i),
+                )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert float(acc) > 0.8
