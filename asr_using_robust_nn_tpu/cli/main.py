@@ -33,7 +33,8 @@ def _add_prepare(sub):
     p.add_argument("--data-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "int8", "pallas", "pallas_int8"])
 
 
 def _add_train(sub):
