@@ -88,5 +88,11 @@ def lipschitz_monitor(cfg: MLPConfig, print_fn=print):
             print_fn(f"The norm for layer dense_{i} is : {n}")
         lip = float(get_lipschitz_constrained(cfg, params, state))
         print_fn(f"The Lipschitz constant on epoch {epoch} is {lip}")
+        if cfg.batch_norm:
+            sound = float(get_lipschitz_sound(cfg, params, state))
+            print_fn(
+                f"  (sound BN-inclusive upper bound: {sound:.4g} — "
+                "see get_lipschitz_sound)"
+            )
 
     return cb
