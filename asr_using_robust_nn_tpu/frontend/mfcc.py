@@ -8,22 +8,23 @@ Usage:
 backend='auto' resolves per preset from v5e measurements (RTT-subtracted,
 cache/DCE-proof, 1024 utterances, parity vs the f64 oracle in parens):
 
-    digit (n_fft=2048):  int8 digit-decomposition  11.1 ms (4.4e-4)  <- auto
+    digit (n_fft=2048):  int8 digit-decomposition   9.6 ms (4.4e-4)  <- auto
+                         pallas-int8 fused         13.0 ms (4.4e-4)
                          xla precision=HIGHEST     13.5 ms (4.5e-4)
-                         pallas-int8 fused         14.1 ms (4.4e-4)
                          pallas f32 HIGHEST        19.6 ms (4.5e-4)
-    speaker (n_fft=441): xla precision=HIGHEST      4.1 ms           <- auto
-                         int8 digit-decomposition   4.7 ms
+    speaker (n_fft=441): xla precision=HIGHEST      3.0-4.1 ms       <- auto
+                         pallas-int8 fused          4.2 ms
+                         int8 digit-decomposition   4.6 ms
 
-The int8 path (ops/mfcc_int8.py) runs the rDFT as six exact int8 MXU
-matmuls — the v5e MXU's 2x int8-vs-bf16 rate beats HIGHEST's 6-pass bf16
-emulation when the DFT matmul is large (K = n_fft = 2048); at the speaker
-preset's K=441 the digitize/accumulate overhead eats the saving, so auto
-keeps plain XLA there. The crossover is gated on n_fft >= 1024. Mosaic's
-multi-pass f32 matmul keeps the Pallas kernels behind XLA at both presets
-(fused pallas-int8 14.1 ms: the VMEM power-spectrum saving is smaller than
-XLA's better matmul schedule); they stay available via backend='pallas' /
-'pallas_int8' as fusion templates.
+The int8 path (ops/mfcc_int8.py) runs the rDFT as six exact int8 digit
+products fused into three int8 MXU matmuls — the v5e MXU's 2x
+int8-vs-bf16 rate beats HIGHEST's 6-pass bf16 emulation when the DFT
+matmul is large (K = n_fft = 2048); at the speaker preset's K=441 the
+digitize/accumulate overhead eats the saving, so auto keeps plain XLA
+there. The crossover is gated on n_fft >= 1024. Mosaic's multi-pass f32
+matmul keeps the Pallas kernels behind XLA at both presets (the VMEM
+power-spectrum saving is smaller than XLA's better matmul schedule); they
+stay available via backend='pallas' / 'pallas_int8' as fusion templates.
 """
 
 from __future__ import annotations
