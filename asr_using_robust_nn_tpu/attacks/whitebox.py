@@ -157,8 +157,16 @@ def jsma(
             done = hit | jnp.logical_not(any_valid) | over_budget
             return (xa_new, used, search, i + 1, done)
 
-        init = (x0, jnp.zeros((n_feat,), bool),
-                jnp.ones((n_feat,), bool), 0, jnp.asarray(False))
+        # ART excludes features already AT the bound from the search domain
+        # up front (SaliencyMapMethod: x >= clip_max for theta > 0), so a
+        # clipped-to-no-op pair can never be selected or consume the gamma
+        # budget
+        search0 = jnp.ones((n_feat,), bool)
+        if clip is not None:
+            bound = clip[1] if theta > 0 else clip[0]
+            search0 = x0 != bound
+        init = (x0, jnp.zeros((n_feat,), bool), search0, 0,
+                jnp.asarray(False))
         xa, _, _, _, _ = jax.lax.while_loop(cond, body, init)
         return xa
 

@@ -163,7 +163,10 @@ def load_model(path, cfg):
     if str(path).endswith(".h5"):
         if not os.path.exists(path):
             raise SystemExit(f"error: checkpoint file {path!r} not found")
-        return import_keras_h5(path, cfg)
+        try:
+            return import_keras_h5(path, cfg)
+        except ValueError as e:  # variant/shape mismatch: same UX as Orbax
+            raise SystemExit(f"error: {e}")
     if not os.path.exists(os.path.join(str(path), "best")):
         raise SystemExit(
             f"error: no checkpoint at {path!r} (expected an Orbax dir with "

@@ -21,7 +21,8 @@ products fused into three int8 MXU matmuls — the v5e MXU's 2x
 int8-vs-bf16 rate beats HIGHEST's 6-pass bf16 emulation when the DFT
 matmul is large (K = n_fft = 2048); at the speaker preset's K=441 the
 digitize/accumulate overhead eats the saving, so auto keeps plain XLA
-there. The crossover is gated on n_fft >= 1024. Mosaic's multi-pass f32
+there. The crossover is gated on running on a TPU backend AND
+n_fft >= 1024 (off-TPU there is no int8 rate edge). Mosaic's multi-pass f32
 matmul keeps the Pallas kernels behind XLA at both presets (the VMEM
 power-spectrum saving is smaller than XLA's better matmul schedule); they
 stay available via backend='pallas' / 'pallas_int8' as fusion templates.
@@ -36,6 +37,17 @@ from ..ops.mfcc_xla import FrontendConfig, mfcc_xla_batch
 from ..ops.pallas_mfcc import mfcc_pallas_batch, mfcc_pallas_int8_batch
 
 __all__ = ["Frontend"]
+
+
+def _auto_backend(cfg: FrontendConfig, platform: str) -> str:
+    """Measured v5e crossover (module docstring): the int8 rDFT wins only
+    where the MXU runs int8 at 2x the bf16 rate AND the DFT matmul is big
+    enough to be MXU-bound (large n_fft). Off-TPU there is no int8 rate
+    advantage and the six digit products are strictly more work, so every
+    other platform keeps the f32 XLA path."""
+    if platform in ("tpu", "axon") and cfg.n_fft >= 1024:
+        return "int8"
+    return "xla"
 
 
 class Frontend:
@@ -55,9 +67,9 @@ class Frontend:
 
     def __init__(self, cfg: FrontendConfig, backend: str = "auto"):
         if backend == "auto":
-            # measured v5e crossover (module docstring): the int8 rDFT wins
-            # when the DFT matmul is MXU-bound, i.e. large n_fft.
-            backend = "int8" if cfg.n_fft >= 1024 else "xla"
+            import jax
+
+            backend = _auto_backend(cfg, jax.default_backend())
         if backend not in self._BACKENDS:
             raise ValueError(f"unknown frontend backend {backend!r}")
         self.cfg = cfg

@@ -66,18 +66,17 @@ def tp_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
-def _layer_specs(cfg: MLPConfig, i: int) -> tuple[P, P]:
-    """(kernel spec, feature spec) for Dense layer i under the alternation.
+def _layer_specs(i: int, n_hidden: int) -> tuple[P, P]:
+    """(kernel spec, feature spec) for Dense layer i under the alternation
+    — the single source of truth for the TP layout.
 
     Feature spec covers bias, BN gamma/beta, and BN moving stats — all
     per-output-feature vectors."""
-    n_hidden = len(cfg.hidden)
-    col = i % 2 == 0
     if i == n_hidden:  # output layer: row-parallel iff its input is sharded
         if i > 0 and (i - 1) % 2 == 0:
             return P(MODEL_AXIS, None), P()
         return P(None, None), P()
-    if col:
+    if i % 2 == 0:
         return P(None, MODEL_AXIS), P(MODEL_AXIS)
     return P(MODEL_AXIS, None), P()
 
@@ -87,7 +86,7 @@ def mlp_tp_specs(cfg: MLPConfig) -> tuple[dict, dict]:
     p_layers, s_layers = [], []
     n_hidden = len(cfg.hidden)
     for i in range(cfg.n_dense):
-        w_spec, f_spec = _layer_specs(cfg, i)
+        w_spec, f_spec = _layer_specs(i, n_hidden)
         p = {"w": w_spec, "b": f_spec}
         s = {}
         if i < n_hidden and cfg.batch_norm:
@@ -103,7 +102,7 @@ def mlp_tp_specs(cfg: MLPConfig) -> tuple[dict, dict]:
 def _check_divisible(cfg: MLPConfig, n_model: int) -> None:
     dims = (cfg.in_dim,) + tuple(cfg.hidden) + (cfg.n_classes,)
     for i in range(cfg.n_dense):
-        w_spec, _ = _layer_specs(cfg, i)
+        w_spec, _ = _layer_specs(i, len(cfg.hidden))
         for axis, name in zip(w_spec, (dims[i], dims[i + 1])):
             if axis == MODEL_AXIS and name % n_model != 0:
                 raise ValueError(
@@ -127,20 +126,11 @@ def shard_mlp(mesh: Mesh, params: dict, state: dict) -> tuple[dict, dict]:
 
 def _specs_for_tree(params: dict, state: dict) -> tuple[dict, dict]:
     """Derive specs from the tree itself (handles BN-present/absent layers
-    without needing the MLPConfig)."""
-    n_dense = len(params["layers"])
-    n_hidden = n_dense - 1
+    without needing the MLPConfig); layout comes from `_layer_specs`."""
+    n_hidden = len(params["layers"]) - 1
     p_layers, s_layers = [], []
     for i, (p, s) in enumerate(zip(params["layers"], state["layers"])):
-        col = i % 2 == 0
-        if i == n_hidden:
-            w_spec = (P(MODEL_AXIS, None)
-                      if i > 0 and (i - 1) % 2 == 0 else P(None, None))
-            f_spec = P()
-        elif col:
-            w_spec, f_spec = P(None, MODEL_AXIS), P(MODEL_AXIS)
-        else:
-            w_spec, f_spec = P(MODEL_AXIS, None), P()
+        w_spec, f_spec = _layer_specs(i, n_hidden)
         p_layers.append({k: (w_spec if k == "w" else f_spec) for k in p})
         s_layers.append({k: f_spec for k in s})
     return {"layers": p_layers}, {"layers": s_layers}

@@ -27,7 +27,11 @@ def validate_model_tree(params, state, cfg) -> None:
     at first forward (VERDICT r1 weak #6)."""
     from ..models.mlp import init_mlp
 
-    want_p, want_s = init_mlp(cfg, jax.random.PRNGKey(0))
+    # abstract eval: the full shape/structure tree with zero device compute
+    # or allocation (only shapes are compared below)
+    want_p, want_s = jax.eval_shape(
+        lambda k: init_mlp(cfg, k), jax.random.PRNGKey(0)
+    )
     for label, got, want in (("params", params, want_p),
                              ("state", state, want_s)):
         got_paths = {jax.tree_util.keystr(k): np.shape(v) for k, v in

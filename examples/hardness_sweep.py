@@ -175,7 +175,8 @@ def main():
                     help="JSON list of cell dicts (or @file); "
                          "default = built-in grid")
     args = ap.parse_args()
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
 
     fgsm_eps = [0.05, 0.1, 0.2, 0.4, 0.8]
     noise_sigmas = [1.0, 2.0, 4.0, 8.0]

@@ -83,8 +83,15 @@ def main():
         splits.train_data, splits.dev_data, splits.test_data
     )
 
-    def std(x):
-        return (x - mean) / scale
+    def std(feats):
+        # the reference's standardize_dataset RE-FITS the scaler per sweep
+        # point on [train; val; perturbed-test] (`SR/attacks.py:348,437-438`)
+        # with RAW train/val in the standardize-after case — same protocol
+        # as `asrtpu attack` (cli/main.py::cmd_attack)
+        _, _, out, _, _ = standardize_fit_all(
+            splits.train_data, splits.dev_data, feats
+        )
+        return out
 
     models = {}
     for name, cfg, con, n_ep in [

@@ -252,24 +252,34 @@ class TestInt8PallasFused:
 class TestFrontendDispatcher:
     """frontend/mfcc.py::Frontend — auto resolves per measured preset."""
 
-    def test_auto_selection_per_preset(self):
-        from asr_using_robust_nn_tpu.frontend.mfcc import Frontend
+    def test_auto_selection_per_preset_and_platform(self):
+        from asr_using_robust_nn_tpu.frontend.mfcc import (
+            Frontend,
+            _auto_backend,
+        )
 
-        assert Frontend(DIGIT).backend == "int8"      # n_fft=2048: MXU-bound
-        assert Frontend(SPEAKER).backend == "xla"     # n_fft=441: overhead-bound
+        # int8 wins only on the TPU MXU (2x int8 rate) AND at large n_fft
+        assert _auto_backend(DIGIT, "tpu") == "int8"
+        assert _auto_backend(DIGIT, "axon") == "int8"
+        assert _auto_backend(SPEAKER, "tpu") == "xla"   # n_fft=441
+        assert _auto_backend(DIGIT, "cpu") == "xla"
+        assert _auto_backend(DIGIT, "gpu") == "xla"
+        # tests run on the CPU platform (conftest): auto resolves to xla
+        assert Frontend(DIGIT).backend == "xla"
         with pytest.raises(ValueError):
             Frontend(DIGIT, backend="cudnn")
 
-    def test_auto_matches_xla_at_parity(self, rng):
+    def test_int8_matches_xla_at_parity(self, rng):
         from asr_using_robust_nn_tpu.frontend.mfcc import Frontend
 
         waves = (rng.standard_normal((4, 22050)) * 0.3).astype(np.float32)
         lengths = np.array([22050, 22050, 15000, 8000])
-        got = np.asarray(Frontend(DIGIT)(waves, lengths=lengths))
+        got = np.asarray(Frontend(DIGIT, backend="int8")(
+            waves, lengths=lengths))
         want = np.asarray(Frontend(DIGIT, backend="xla")(
             waves, lengths=lengths))
         np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
-        flat = Frontend(DIGIT).flat(waves)
+        flat = Frontend(DIGIT, backend="int8").flat(waves)
         assert flat.shape == (4, DIGIT.n_mfcc * DIGIT.utterance_length)
 
 
