@@ -126,6 +126,24 @@ class TestWhitebox:
         assert changed.max() <= int(0.2 * x.shape[1]) + 2
         assert (delta >= -1e-9).all()  # theta>0 only increases
 
+    def test_jsma_excludes_at_bound_features_up_front(self, trained):
+        """ART SaliencyMapMethod removes x >= clip_max features from the
+        search domain BEFORE selection: with every feature at the bound
+        the attack must be a no-op (no clipped-to-nothing pairs eating
+        the gamma budget)."""
+        cfg, params, state, logits_fn, predict, x, y = trained
+        hi = 2.0
+        xs = jnp.full((4, x.shape[1]), hi, jnp.float32)
+        adv = whitebox.jsma(logits_fn, xs, theta=1.0, gamma=0.2,
+                            clip=(-hi, hi), key=jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(adv), np.asarray(xs))
+        # and with only SOME features pinned, those never move
+        xs2 = jnp.asarray(x[:4]).at[:, ::2].set(hi)
+        adv2 = whitebox.jsma(logits_fn, xs2, theta=1.0, gamma=0.2,
+                             clip=(-hi, hi), key=jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(adv2)[:, ::2],
+                                      np.asarray(xs2)[:, ::2])
+
     def test_cw_l2_strength_oracle(self, trained):
         """Potency guard (VERDICT r1 item 6): C&W-L2 must flip most samples
         AND be at least as successful as FGSM when FGSM is given the same
