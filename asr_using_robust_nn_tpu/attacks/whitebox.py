@@ -64,7 +64,14 @@ def pgd(
     (ART ProjectedGradientDescent defaults, `attacks.py:647-661`).
 
     eps/eps_step are traced (not static): a 50-point eps sweep reuses ONE
-    compiled 100-iteration program instead of compiling 50."""
+    compiled 100-iteration program instead of compiling 50.
+
+    Parity note: with the ART defaults the iterate can move at most
+    eps_step * max_iter = 10 in L-inf, so the reference's eps grid
+    (linspace(1, 30, 50), `attacks.py:648`) saturates above eps ~10 — the
+    curve's right side is flat BY CONSTRUCTION in the reference too, since
+    it passes only `eps` and inherits the same defaults. Replicated as-is;
+    pass a larger eps_step for a sweep that actually reaches eps > 10."""
 
     def body(_, xa):
         g = jax.grad(lambda xx: _ce(logits_fn(xx), y))(xa)

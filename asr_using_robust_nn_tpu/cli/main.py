@@ -325,9 +325,13 @@ def cmd_train(args):
                           constraint_state=cstate, epoch_callbacks=callbacks)
     init_params = init_state = None
     if args.resume and os.path.exists(os.path.join(args.ckpt, "best")):
-        tree, meta = __import__(
-            "asr_using_robust_nn_tpu.train.checkpoints", fromlist=["CheckpointManager"]
-        ).CheckpointManager(args.ckpt).load_best()
+        from ..train.checkpoints import CheckpointManager, validate_model_tree
+
+        tree, meta = CheckpointManager(args.ckpt).load_best()
+        try:
+            validate_model_tree(tree["params"], tree["state"], cfg)
+        except ValueError as e:
+            raise SystemExit(f"error: --resume checkpoint mismatch: {e}")
         init_params, init_state = tree["params"], tree["state"]
         print(f"resumed from {args.ckpt} (epoch {meta.get('epoch')}, "
               f"val_loss {meta.get('val_loss')})")

@@ -131,32 +131,10 @@ def make_simple_norm_constraint(
         }
 
     def apply(params, cstate):
+        from ..ops.spectral import product_spectral_norm_with_state
+
         ws = list(dense_kernels(params))
         m = len(ws)
-
-        def norm(x):
-            return x / (jnp.linalg.norm(x) + _EPS)
-
-        def product_sigma(ws_now, u):
-            def p_t(u):  # P^T u = W_1 (W_2 (... (W_m u)))
-                x = u
-                for w in reversed(ws_now):
-                    x = w @ x
-                return x
-
-            def p(v):  # P v = W_m^T (... (W_1^T v))
-                x = v
-                for w in ws_now:
-                    x = w.T @ x
-                return x
-
-            def body(_, u):
-                return norm(p(norm(p_t(u))))
-
-            u = jax.lax.fori_loop(0, n_iter, body, norm(u))
-            v = norm(p_t(u))
-            return u @ p(v), u
-
         affected = (
             list(range(m))
             if not affected_layers_indices
@@ -176,7 +154,9 @@ def make_simple_norm_constraint(
         # reference's per-layer recompute collapses to ONE power iteration
         # followed by the exact scalar recurrence
         #   f_k = (rho / sigma_k)^(1/m),  sigma_{k+1} = sigma_k * f_k.
-        sigma, u = product_sigma(ws, cstate["u"])
+        sigma, u = product_spectral_norm_with_state(
+            ws, cstate["u"], n_iter=n_iter, eps=_EPS
+        )
         for i in affected:
             factor = (rho / (sigma + _EPS)) ** (1.0 / m)
             ws[i] = ws[i] * factor

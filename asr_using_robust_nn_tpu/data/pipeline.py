@@ -173,9 +173,9 @@ def featurize_files(
 
     def job(start):
         if device_resample:
-            got = decode_native_rate(start)
-            if got is not None:
-                return got
+            # always succeeds: mixed-rate chunks fall back to host
+            # resampling internally (no double decode)
+            return decode_native_rate(start)
         return decode(start) + (cfg.sr,)
 
     # pipeline: host decodes chunk k+1 while the device featurizes chunk k

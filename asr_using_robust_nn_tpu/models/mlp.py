@@ -111,6 +111,7 @@ def apply_mlp(
     x: jnp.ndarray,
     train: bool = False,
     rng=None,
+    weights: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Forward pass -> (logits, new_state).
 
@@ -118,12 +119,18 @@ def apply_mlp(
     Keras graph (`train_google_dataset.py:51-69`: Dense(activation='relu')
     then BatchNormalization then Dropout). Head returns logits; use
     predict_probs for the softmax output the reference's predict() yields.
+
+    `weights` (train mode only): per-row weights for BN batch moments —
+    padded rows in device-resident/data-parallel batches carry weight 0 so
+    batch statistics exclude them exactly. None keeps plain mean/var.
     """
     n_hidden = len(cfg.hidden)
     new_slayers = []
     h = x
+    if weights is not None:
+        denom = jnp.sum(weights) + 1e-9
     if train and rng is not None:
-        drop_keys = jax.random.split(rng, n_hidden)
+        drop_keys = jax.random.split(rng, max(n_hidden, 1))
     for i, p in enumerate(params["layers"]):
         h = h @ p["w"] + p["b"]
         if i == n_hidden:  # output layer: logits
@@ -133,8 +140,14 @@ def apply_mlp(
         s = state["layers"][i]
         if cfg.batch_norm:
             if train:
-                mean = jnp.mean(h, axis=0)
-                var = jnp.var(h, axis=0)
+                if weights is not None:
+                    mean = jnp.sum(h * weights[:, None], 0) / denom
+                    var = jnp.sum(
+                        ((h - mean) ** 2) * weights[:, None], 0
+                    ) / denom
+                else:
+                    mean = jnp.mean(h, axis=0)
+                    var = jnp.var(h, axis=0)
                 m = cfg.bn_momentum
                 new_slayers.append(
                     {"mean": s["mean"] * m + mean * (1 - m),

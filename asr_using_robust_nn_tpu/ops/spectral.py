@@ -60,19 +60,29 @@ def spectral_norm_with_state(
     return sigma, u
 
 
-def product_spectral_norm(
-    ws: list[jnp.ndarray], n_iter: int = 64
-) -> jnp.ndarray:
-    """Spectral norm of W_m^T @ ... @ W_1^T without materializing the product
-    explicitly for the power steps (matvecs run right-to-left).
+def product_spectral_norm_with_state(
+    ws: list[jnp.ndarray],
+    u: jnp.ndarray | None = None,
+    n_iter: int = 64,
+    eps: float = _EPS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(sigma, u_next) for ||W_m^T @ ... @ W_1^T||_2 without materializing
+    the product for the power steps (matvecs run right-to-left), with a
+    persistent left vector like `spectral_norm_with_state`.
 
     Oracle semantics: `np.linalg.norm(W_m.T @ ... @ W_1.T, ord=2)` as in
     `Voice digit recogniton/Constraints.py:162-167` and
-    `extract_features_construct_dataset.py:188-194`.
+    `extract_features_construct_dataset.py:188-194`. `eps` is exposed
+    because the constraint engine uses the reference's np.spacing(1)
+    (docs/PARITY.md row 10).
     """
     d_out = ws[-1].shape[1]  # product maps R^{d_out_last} <- ... actually rows
-    key = jax.random.PRNGKey(d_out * 31 + len(ws))
-    u = _l2_normalize(jax.random.normal(key, (d_out,), dtype=ws[0].dtype))
+    if u is None:
+        key = jax.random.PRNGKey(d_out * 31 + len(ws))
+        u = jax.random.normal(key, (d_out,), dtype=ws[0].dtype)
+
+    def nrm(v):
+        return v / (jnp.linalg.norm(v) + eps)
 
     def apply(u):
         # P = W_m^T ... W_1^T, P: (d_out_m, d_in_1). P^T u then P v.
@@ -88,9 +98,17 @@ def product_spectral_norm(
         return x
 
     def body(_, u):
-        v = _l2_normalize(apply(u))
-        return _l2_normalize(apply_t(v))
+        v = nrm(apply(u))
+        return nrm(apply_t(v))
 
-    u = jax.lax.fori_loop(0, n_iter, body, u)
-    v = _l2_normalize(apply(u))
-    return u @ apply_t(v)
+    u = jax.lax.fori_loop(0, n_iter, body, nrm(u))
+    v = nrm(apply(u))
+    return u @ apply_t(v), u
+
+
+def product_spectral_norm(
+    ws: list[jnp.ndarray], n_iter: int = 64
+) -> jnp.ndarray:
+    """Scalar-only convenience wrapper over the stateful variant."""
+    sigma, _ = product_spectral_norm_with_state(ws, n_iter=n_iter)
+    return sigma

@@ -95,20 +95,34 @@ class CheckpointManager:
 
 
 def export_h5(path, params: dict, state: dict | None = None) -> None:
-    """Write weights in a Keras-style h5 layout: one group per layer with
-    kernel/bias (Dense) and gamma/beta/moving_mean/moving_variance (BN)."""
+    """Write weights in the Keras-TF2 h5 layout: one group per layer with
+    kernel/bias (Dense) and gamma/beta/moving_mean/moving_variance (BN),
+    PLUS the `layer_names`/`weight_names` HDF5 attrs Keras's
+    `load_weights` walks — without them the file is readable only by
+    `import_keras_h5`, not by Keras itself."""
     import h5py
+
+    def _wn(layer_name, weights):
+        return np.asarray(
+            [f"{layer_name}/{w}".encode() for w in weights], dtype="S64"
+        )
 
     with h5py.File(path, "w") as f:
         mw = f.create_group("model_weights")
+        layer_names = []
         for i, layer in enumerate(params["layers"]):
             name = f"dense_{i}" if i else "dense"
-            g = mw.create_group(name).create_group(name)
+            layer_names.append(name)
+            outer = mw.create_group(name)
+            g = outer.create_group(name)
             g.create_dataset("kernel:0", data=np.asarray(layer["w"]))
             g.create_dataset("bias:0", data=np.asarray(layer["b"]))
+            outer.attrs["weight_names"] = _wn(name, ("kernel:0", "bias:0"))
             if "gamma" in layer:
                 bname = f"batch_normalization_{i}" if i else "batch_normalization"
-                bg = mw.create_group(bname).create_group(bname)
+                layer_names.append(bname)
+                bouter = mw.create_group(bname)
+                bg = bouter.create_group(bname)
                 bg.create_dataset("gamma:0", data=np.asarray(layer["gamma"]))
                 bg.create_dataset("beta:0", data=np.asarray(layer["beta"]))
                 s = (state or {"layers": [{}] * len(params["layers"])})["layers"][i]
@@ -120,6 +134,15 @@ def export_h5(path, params: dict, state: dict | None = None) -> None:
                     "moving_variance:0",
                     data=np.asarray(s.get("var", np.ones_like(layer["gamma"]))),
                 )
+                bouter.attrs["weight_names"] = _wn(
+                    bname,
+                    ("gamma:0", "beta:0", "moving_mean:0",
+                     "moving_variance:0"),
+                )
+        mw.attrs["layer_names"] = np.asarray(
+            [n.encode() for n in layer_names], dtype="S64"
+        )
+        mw.attrs["backend"] = np.bytes_(b"tensorflow")
 
 
 def import_keras_h5(path, cfg) -> tuple[dict, dict]:

@@ -32,46 +32,21 @@ __all__ = ["build_epoch_fn", "build_eval_fn"]
 
 
 def _masked_forward_loss(model_cfg, params, state, x, y, w, rng):
-    """CCE + accuracy with row weights; BN moments exclude masked rows.
+    """CCE + accuracy with row weights; BN moments exclude masked rows
+    (apply_mlp's `weights` path — ONE forward implementation for all
+    trainers).
 
     Shared by the epoch-scan path and DataParallelTrainer (both feed padded
     batches)."""
-    n_hidden = len(model_cfg.hidden)
-    new_slayers = []
-    h = x
+    logits, new_state = apply_mlp(
+        model_cfg, params, state, x, train=True, rng=rng, weights=w
+    )
     denom = jnp.sum(w) + 1e-9
-    if rng is not None:
-        drop_keys = jax.random.split(rng, max(n_hidden, 1))
-    for i, p in enumerate(params["layers"]):
-        h = h @ p["w"] + p["b"]
-        if i == n_hidden:
-            new_slayers.append(dict(state["layers"][i]))
-            break
-        h = jax.nn.relu(h)
-        s = state["layers"][i]
-        if model_cfg.batch_norm:
-            mean = jnp.sum(h * w[:, None], 0) / denom
-            var = jnp.sum(((h - mean) ** 2) * w[:, None], 0) / denom
-            m = model_cfg.bn_momentum
-            new_slayers.append(
-                {"mean": s["mean"] * m + mean * (1 - m),
-                 "var": s["var"] * m + var * (1 - m)}
-            )
-            h = (h - mean) * jax.lax.rsqrt(var + model_cfg.bn_eps)
-            h = h * p["gamma"] + p["beta"]
-        else:
-            new_slayers.append(dict(s))
-        rate = model_cfg.dropout[i] if i < len(model_cfg.dropout) else 0.0
-        if rate > 0.0 and rng is not None:
-            keep = 1.0 - rate
-            mask = jax.random.bernoulli(drop_keys[i], keep, h.shape)
-            h = jnp.where(mask, h / keep, 0.0)
-    logits = h
     logp = jax.nn.log_softmax(logits, -1)
     per = -jnp.take_along_axis(logp, y[:, None], -1)[:, 0]
     loss = jnp.sum(per * w) / denom
     acc = jnp.sum((jnp.argmax(logits, -1) == y) * w) / denom
-    return loss, ({"layers": new_slayers}, acc)
+    return loss, (new_state, acc)
 
 
 def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,

@@ -265,6 +265,7 @@ class Trainer:
 
         t0 = time.perf_counter()
         steps = 0
+        examples_seen = 0
         epochs_done = 0
         ep_stride = cfg.epochs_per_dispatch if (dr is not None) else 1
         key_perm, key_drop = jax.random.split(jax.random.fold_in(key, 977))
@@ -286,6 +287,7 @@ class Trainer:
                   n_true)
                 ep_loss, ep_acc, ep_n = float(mloss), float(macc), 1.0
                 steps += -(-n_true // cfg.batch_size) * this_stride
+                examples_seen += n_true * this_stride
                 epochs_done += this_stride
                 vl, va = eval_fn(params, state, d_val, l_val, n_val)
                 val_loss, val_acc = float(vl), float(va)
@@ -303,6 +305,7 @@ class Trainer:
                     ep_acc += float(acc) * len(bidx)
                     ep_n += len(bidx)
                     steps += 1
+                examples_seen += int(ep_n)
                 epochs_done += 1
                 val_loss, val_acc = self.evaluate(params, state, val_x, val_y)
             history["loss"].append(ep_loss / ep_n)
@@ -354,5 +357,6 @@ class Trainer:
             "epochs_run": epochs_done,
             "steps": steps,
             "seconds": elapsed,
-            "examples_per_sec": steps * cfg.batch_size / max(elapsed, 1e-9),
+            # true examples visited (ragged final batches counted exactly)
+            "examples_per_sec": examples_seen / max(elapsed, 1e-9),
         }

@@ -97,7 +97,9 @@ def write_wav(path, samples: np.ndarray, sample_rate: int) -> None:
     if samples.ndim == 1:
         samples = samples[None, :]
     x = np.clip(samples, -1.0, 1.0)
-    pcm = (x * 32767.0).astype("<i2").T.reshape(-1)  # interleave
+    # round to NEAREST pcm value (astype truncates toward zero, a
+    # signal-correlated 1-LSB bias; scipy/soundfile round)
+    pcm = np.round(x * 32767.0).astype("<i2").T.reshape(-1)  # interleave
     n_channels = samples.shape[0]
     byte_rate = sample_rate * n_channels * 2
     body = pcm.tobytes()

@@ -185,6 +185,41 @@ class TestTrainer:
         b = predict_probs(cfg, p2, s2, x)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    @pytest.mark.filterwarnings("ignore")
+    def test_keras_loads_our_export(self, tmp_path, rng):
+        """The export direction of the interop claim: a LIVE Keras model
+        must be able to `load_weights` our export_h5 file (requires the
+        layer_names/weight_names attrs) and produce the same forward."""
+        tf = pytest.importorskip("tensorflow")
+        from tensorflow.keras.layers import (
+            BatchNormalization,
+            Dense,
+            Dropout,
+            Input,
+        )
+        from tensorflow.keras.models import Model
+
+        cfg = small_cfg(dropout=(0.4, 0.4))
+        params, state = init_mlp(cfg, jax.random.PRNGKey(5))
+        path = str(tmp_path / "exp.h5")
+        export_h5(path, params, state)
+
+        inp = Input((16,))
+        h = Dense(32, activation="relu")(inp)
+        h = BatchNormalization()(h)
+        h = Dropout(0.4)(h)
+        h = Dense(16, activation="relu")(h)
+        h = BatchNormalization()(h)
+        h = Dropout(0.4)(h)
+        out = Dense(4, activation="softmax")(h)
+        km = Model(inp, out)
+        km.load_weights(path)
+
+        x = rng.standard_normal((8, 16)).astype(np.float32)
+        want = np.asarray(predict_probs(cfg, params, state, x))
+        got = km(x, training=False).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_import_tf2_golden_h5(self, tmp_path, rng):
         """Cross-load a genuine TF2-era full-model h5 byte layout.
 
