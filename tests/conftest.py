@@ -36,3 +36,22 @@ import pytest  # noqa: E402
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+def product_norm_oracle(ws):
+    """np.linalg spectral norm of W_m^T @ ... @ W_1^T — the reference's
+    product-Lipschitz formula (`VD/extract_features_construct_dataset.py:
+    188-194`), kept independent of ops/spectral so it can serve as its
+    oracle. Shared by the constraint/trainer/parallel suites."""
+    prod = None
+    for w in reversed([np.asarray(w) for w in ws]):
+        prod = w.T if prod is None else prod @ w.T
+    return np.linalg.norm(prod, ord=2)
+
+
+def blobs_task(rng, n=512, d=16, k=4, noise=1.0, spread=3.0):
+    """Separable-blobs classification task shared across suites."""
+    means = rng.standard_normal((k, d)) * spread
+    y = rng.integers(0, k, n).astype(np.int32)
+    x = (means[y] + rng.standard_normal((n, d)) * noise).astype(np.float32)
+    return x, y

@@ -21,10 +21,10 @@ from asr_using_robust_nn_tpu.train import TrainConfig, Trainer
 def trained():
     """A small model trained on separable blobs, for attack evaluation."""
     rng = np.random.default_rng(3)
+    from conftest import blobs_task
+
     n, d, k = 600, 24, 4
-    means = rng.standard_normal((k, d)) * 3
-    y = rng.integers(0, k, n).astype(np.int32)
-    x = (means[y] + rng.standard_normal((n, d)) * 0.7).astype(np.float32)
+    x, y = blobs_task(rng, n=n, d=d, k=k, noise=0.7)
     cfg = MLPConfig(in_dim=d, n_classes=k, hidden=(32, 16), dropout=(0.0, 0.0))
     tr = Trainer(cfg, TrainConfig(batch_size=64, epochs=60, patience=60, seed=0))
     res = tr.fit(x[:500], y[:500], x[500:], y[500:])
@@ -207,11 +207,12 @@ class TestWhitebox:
         adv = whitebox.carlini_linf(logits_fn, xs, ys, max_iter=30)
         adv = np.asarray(adv)
         assert np.isfinite(adv).all()
-        # successful samples must respect the (initial) tau = span/10 bound
+        # successful samples must respect the (initial) tau = span/10 bound;
+        # a fully failed attack (zero flips) must fail the test, not skip it
         flipped = np.argmax(predict(adv), -1) != y[:8]
-        if flipped.any():
-            linf = np.max(np.abs(adv - x[:8]), axis=-1)
-            assert (linf[flipped] <= span / 10.0 * 1.05).all()
+        assert flipped.any(), "carlini_linf flipped nothing"
+        linf = np.max(np.abs(adv - x[:8]), axis=-1)
+        assert (linf[flipped] <= span / 10.0 * 1.05).all()
 
 
 class TestSweeps:

@@ -33,6 +33,8 @@ from asr_using_robust_nn_tpu.ops.spectral import (
 )
 from asr_using_robust_nn_tpu.train import TrainConfig, Trainer
 
+from conftest import product_norm_oracle
+
 EPS = float(np.spacing(1.0))
 
 
@@ -158,11 +160,8 @@ class TestSimpleNormConstraint:
         p1, s1 = c.apply(params, c.init(params))
         for _ in range(30):
             p1, s1 = c.apply(p1, s1)
-        ws = [np.asarray(w) for w in dense_kernels(p1)]
-        prod = None
-        for w in reversed(ws):
-            prod = w.T if prod is None else prod @ w.T
-        np.testing.assert_allclose(np.linalg.norm(prod, ord=2), rho, rtol=1e-2)
+        np.testing.assert_allclose(
+            product_norm_oracle(dense_kernels(p1)), rho, rtol=1e-2)
 
 
 class TestFistaConstraint:
@@ -239,17 +238,13 @@ class TestLipschitzAnalyzers:
                 rng.random(state["layers"][i]["var"].shape).astype(np.float32) + 0.5
             )
         got = float(get_lipschitz_constrained(cfg, params, state))
-        ws = [np.asarray(w) for w in dense_kernels(params)]
-        prod = None
-        for w in reversed(ws):
-            prod = w.T if prod is None else prod @ w.T
         corr = 1.0
         for i in range(2):
             corr *= np.max(
                 np.sqrt(np.asarray(state["layers"][i]["var"]))
                 / np.asarray(params["layers"][i]["gamma"])
             )
-        want = np.linalg.norm(prod, ord=2) / corr
+        want = product_norm_oracle(dense_kernels(params)) / corr
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
     def test_sound_bound_no_bn_is_product_of_norms(self, params):
@@ -310,9 +305,5 @@ class TestTrainingIntegration:
         tr = Trainer(cfg, TrainConfig(batch_size=32, epochs=3, patience=100),
                      constraint=c.apply, constraint_state=c.init(p0))
         res = tr.fit(x[:96], y[:96], x[96:], y[96:])
-        ws = [np.asarray(w) for w in dense_kernels(res["params"])]
-        prod = None
-        for w in reversed(ws):
-            prod = w.T if prod is None else prod @ w.T
-        sigma = np.linalg.norm(prod, ord=2)
+        sigma = product_norm_oracle(dense_kernels(res["params"]))
         assert sigma <= rho * 1.05, sigma

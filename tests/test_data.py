@@ -89,6 +89,13 @@ class TestSplit:
         assert len(tr) == 69 and len(dv) == 20 and len(te) == 9
         assert te[0] == "f90"
 
+    def test_tiny_corpus_minus_zero_quirk(self):
+        # n=9: int(9*0.1)==0 -> the reference's [-0:] slice takes ALL files
+        files = [f"f{i}" for i in range(9)]
+        (_, _), (_, _), (te, lte) = split_files(files, np.arange(9), seed=None)
+        assert len(te) == 9
+        assert len(lte) == 9
+
 
 class TestSlicing:
     def test_drops_first_and_last_second(self):
@@ -252,9 +259,3 @@ class TestDeviceResample:
         dev = featurize_files(files, cfg, backend="xla", device_resample=True)
         np.testing.assert_allclose(dev, host, atol=5e-3, rtol=1e-3)
 
-    def test_tiny_corpus_minus_zero_quirk(self):
-        # n=9: int(9*0.1)==0 -> the reference's [-0:] slice takes ALL files
-        files = [f"f{i}" for i in range(9)]
-        (_, _), (_, _), (te, lte) = split_files(files, np.arange(9), seed=None)
-        assert len(te) == 9
-        assert len(lte) == 9

@@ -36,11 +36,26 @@ pid = jax.process_index()
 assert nproc == 2, nproc
 assert jax.device_count() == 2 * jax.local_device_count()
 
-# cross-process collective: each process contributes (pid+1); psum = 3
+# host-level collective: each process contributes (pid+1)
 from jax.experimental import multihost_utils
 
 total = multihost_utils.process_allgather(jnp.asarray([pid + 1.0]))
 assert float(total.sum()) == 3.0, total
+
+# DEVICE-level collective over the global mesh: build a global array from
+# per-process shards and jit-reduce it — XLA must insert the cross-process
+# all-reduce (the DCN path a real multi-host slice depends on)
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+arr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")),
+    np.asarray([pid + 1.0], dtype=np.float32),
+    (jax.device_count(),),
+)
+out = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+assert float(out) == 3.0, out
 print(f"WORKER_OK pid={pid} nproc={nproc} devices={jax.device_count()}")
 """
 

@@ -73,7 +73,9 @@ class TestFilters:
         # 1 s @ 22.05 kHz -> 44 frames (digit), 101 frames (speaker):
         # the comment at extract_features_construct_dataset.py:17.
         assert frontend_ref.num_frames(22050, 512) == 44
-        assert frontend_ref.num_frames(22050, 220) == 101
+        # speaker preset: pass its ODD n_fft=441 explicitly — the odd
+        # branch differs from the 2048 default whenever n % hop == 0
+        assert frontend_ref.num_frames(22050, 220, 441) == 101
 
 
 class TestOracle:

@@ -17,6 +17,8 @@ from asr_using_robust_nn_tpu.models.mlp import (
 from asr_using_robust_nn_tpu.train import TrainConfig, Trainer
 from asr_using_robust_nn_tpu.train.checkpoints import export_h5, import_keras_h5
 
+from conftest import blobs_task, product_norm_oracle
+
 
 def small_cfg(**kw):
     defaults = dict(
@@ -27,11 +29,8 @@ def small_cfg(**kw):
 
 
 def synthetic_task(rng, n=512, in_dim=16, n_classes=4):
-    """Linearly separable-ish blobs: class mean + noise."""
-    means = rng.standard_normal((n_classes, in_dim)) * 3
-    y = rng.integers(0, n_classes, n)
-    x = means[y] + rng.standard_normal((n, in_dim))
-    return x.astype(np.float32), y.astype(np.int32)
+    """Linearly separable-ish blobs (shared generator in conftest)."""
+    return blobs_task(rng, n=n, d=in_dim, k=n_classes)
 
 
 class TestModel:
@@ -139,6 +138,22 @@ class TestTrainer:
         assert res["history"]["val_acc"][-1] > 0.8
         assert res["epochs_run"] <= 200
 
+    def test_early_stopping_fires_on_plateau(self, rng):
+        """Patience must actually stop training: a tiny train split with
+        label-noised validation overfits immediately, so val_loss stops
+        improving and the Keras-semantics wait>=patience break fires well
+        before the epoch cap."""
+        x, y = synthetic_task(rng, n=80)
+        yv = y[40:].copy()
+        yv = (yv + 1 + rng.integers(0, 3, len(yv))) % 4  # wrong-ish labels
+        cfg = small_cfg()
+        tr = Trainer(cfg, TrainConfig(batch_size=16, epochs=500, patience=5,
+                                      seed=0))
+        res = tr.fit(x[:40], y[:40], x[40:], yv)
+        assert res["epochs_run"] < 500
+        # best checkpoint is from the pre-plateau epoch, not the last
+        assert len(res["history"]["val_loss"]) == res["epochs_run"]
+
     def test_nonneg_constraint_enforced(self, rng):
         x, y = synthetic_task(rng, n=256)
         cfg = small_cfg(nonneg=True, batch_norm=True)
@@ -165,10 +180,16 @@ class TestTrainer:
         from asr_using_robust_nn_tpu.train.checkpoints import CheckpointManager
 
         mgr = CheckpointManager(tmp_path / "ck")
+        # restore with a FRESH template (different values from what was
+        # saved) so a load that just echoes its template is caught
+        fp, fs = init_mlp(cfg, jax.random.PRNGKey(99))
+        tr2 = Trainer(cfg, TrainConfig(batch_size=32, epochs=1))
         tree, meta = mgr.load_best(
-            {"params": res["params"], "state": res["state"],
-             "opt_state": res["opt_state"]}
+            {"params": fp, "state": fs,
+             "opt_state": tr2.optimizer.init(fp)}
         )
+        assert not np.allclose(np.asarray(fp["layers"][0]["w"]),
+                               np.asarray(tree["params"]["layers"][0]["w"]))
         assert "val_loss" in meta
         np.testing.assert_allclose(
             np.asarray(tree["params"]["layers"][0]["w"]),
@@ -344,11 +365,7 @@ class TestDeviceResident:
         )
         res = tr.fit(x[:250], y[:250], x[250:], y[250:])
         assert np.isfinite(res["history"]["loss"]).all()
-        ws = [np.asarray(w) for w in dense_kernels(res["params"])]
-        prod = None
-        for w in reversed(ws):
-            prod = w.T if prod is None else prod @ w.T
-        assert np.linalg.norm(prod, ord=2) <= 0.55
+        assert product_norm_oracle(dense_kernels(res["params"])) <= 0.55
 
     def test_epochs_per_dispatch(self, rng):
         x, y = synthetic_task(rng, n=256)

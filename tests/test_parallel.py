@@ -14,12 +14,8 @@ from asr_using_robust_nn_tpu.parallel import (
 )
 from asr_using_robust_nn_tpu.train import TrainConfig, Trainer, adam_optimizer
 
-
-def task(rng, n=512, d=16, k=4):
-    means = rng.standard_normal((k, d)) * 3
-    y = rng.integers(0, k, n).astype(np.int32)
-    x = (means[y] + rng.standard_normal((n, d))).astype(np.float32)
-    return x, y
+from conftest import blobs_task as task
+from conftest import product_norm_oracle
 
 
 def cfg(**kw):
@@ -88,11 +84,7 @@ class TestDataParallelTrainer:
             constraint=con.apply, constraint_state=con.init(p0),
         )
         res = dp.fit(x[:192], y[:192], x[192:], y[192:])
-        ws = [np.asarray(w) for w in dense_kernels(res["params"])]
-        prod = None
-        for w in reversed(ws):
-            prod = w.T if prod is None else prod @ w.T
-        assert np.linalg.norm(prod, ord=2) <= 0.55
+        assert product_norm_oracle(dense_kernels(res["params"])) <= 0.55
 
 
 class TestPsumVariant:
