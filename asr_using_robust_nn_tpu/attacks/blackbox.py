@@ -107,6 +107,47 @@ def add_snr_noise_on_dataset(waves, target_snr_db: float, key, lengths=None):
     )(jnp.asarray(waves, jnp.float32), keys, jnp.asarray(lengths))
 
 
+def noisy_waves(
+    waves: jnp.ndarray,
+    key,
+    sigma: float = 0.0,
+    p: float = 0.0,
+    alpha: float = 0.0,
+    snr_db: float | None = None,
+    lengths=None,
+) -> jnp.ndarray:
+    """Pure (jittable) noise stage of the audio-domain attack. Noise
+    selection mirrors the reference: sigma wins, else (p, alpha) mixture,
+    else SNR if given, else clean (`attacks.py:105-111`, `:277-294`).
+
+    NOTE the selection is by PYTHON truthiness of sigma/p/alpha, so these
+    decide the traced program structure; the VALUES may still be traced
+    scalars inside a jit as long as the chosen branch is fixed (pass 0.0 /
+    non-zero consistently — `fused_audio_sweep` pins the branch with a
+    static `kind` instead)."""
+    waves = jnp.asarray(waves, jnp.float32)
+    if sigma is not None and not (isinstance(sigma, float) and sigma == 0.0):
+        noisy = add_white_noise(waves, sigma, key)
+        masked_noise = True
+    elif alpha is not None and not (isinstance(alpha, float) and alpha == 0.0):
+        keys = jax.random.split(key, waves.shape[0])
+        noisy = jax.vmap(lambda w, k: add_noise(w, p, alpha, k))(waves, keys)
+        masked_noise = True
+    elif snr_db is not None:
+        noisy = add_snr_noise_on_dataset(waves, snr_db, key, lengths=lengths)
+        masked_noise = False  # SNR path masks internally
+    else:
+        noisy = waves
+        masked_noise = False
+    if lengths is not None and masked_noise:
+        # keep the padded tail exactly zero: the reference noises the
+        # native-length file, and noise past the true end would leak into
+        # the last valid frames' analysis windows
+        idx = jnp.arange(waves.shape[-1])[None, :]
+        noisy = jnp.where(idx < jnp.asarray(lengths)[:, None], noisy, 0.0)
+    return noisy
+
+
 def audio_noise_features(
     waves: np.ndarray,
     cfg: FrontendConfig,
@@ -121,27 +162,16 @@ def audio_noise_features(
     """Audio-domain attack pipeline: add noise to raw waveforms, re-run the
     MFCC frontend, return flattened features — the batched equivalent of
     `black_box_attack_on_audio_dataset` (`attacks.py:124-142`) and its SNR
-    variant (`:277-294`). Noise selection mirrors the reference: sigma wins,
-    else (p, alpha) mixture, else SNR if given, else clean.
+    variant (`:277-294`). (For the fully fused noise->MFCC->standardize->
+    predict program, see `sweeps.fused_audio_sweep`.)
     """
     from ..frontend.mfcc import Frontend
 
-    waves = jnp.asarray(waves, jnp.float32)
-    if sigma != 0.0:
-        noisy = add_white_noise(waves, sigma, key)
-    elif p != 0.0 and alpha != 0.0:
-        keys = jax.random.split(key, waves.shape[0])
-        noisy = jax.vmap(lambda w, k: add_noise(w, p, alpha, k))(waves, keys)
-    elif snr_db is not None:
-        noisy = add_snr_noise_on_dataset(waves, snr_db, key, lengths=lengths)
-    else:
-        noisy = waves
-    if lengths is not None and (sigma != 0.0 or (p != 0.0 and alpha != 0.0)):
-        # keep the padded tail exactly zero: the reference noises the
-        # native-length file, and noise past the true end would leak into
-        # the last valid frames' analysis windows
-        idx = jnp.arange(waves.shape[-1])[None, :]
-        noisy = jnp.where(idx < jnp.asarray(lengths)[:, None], noisy, 0.0)
+    sig = sigma if sigma != 0.0 else None
+    al = alpha if (p != 0.0 and alpha != 0.0) else None
+    noisy = noisy_waves(waves, key, sigma=sig if sig is not None else 0.0,
+                        p=p, alpha=al if al is not None else 0.0,
+                        snr_db=snr_db, lengths=lengths)
     fe = Frontend(cfg, backend=backend)
     return np.asarray(fe.flat(noisy, lengths=lengths))
 

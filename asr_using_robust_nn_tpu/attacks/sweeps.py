@@ -26,7 +26,8 @@ import numpy as np
 from ..ops.mfcc_xla import FrontendConfig
 from . import blackbox, whitebox
 
-__all__ = ["SweepResult", "GRIDS", "blackbox_sweep", "whitebox_sweep", "accuracy"]
+__all__ = ["SweepResult", "GRIDS", "blackbox_sweep", "whitebox_sweep",
+           "fused_audio_sweep", "accuracy"]
 
 GRIDS = {
     "audio_sigmas": [0, 0.002, 0.004, 0.01, 0.015, 0.02, 0.03, 0.04, 0.05, 0.075, 0.1],
@@ -171,6 +172,102 @@ def blackbox_sweep(
             feats = standardize(feats)
         acc_c.append(accuracy(predict_constrained(feats), labels))
         acc_u.append(accuracy(predict_unconstrained(feats), labels))
+    return SweepResult(attack, np.asarray(strengths), np.asarray(acc_c),
+                       np.asarray(acc_u))
+
+
+def fused_audio_sweep(
+    attack: str,
+    logits_constrained: Callable,
+    logits_unconstrained: Callable,
+    labels: np.ndarray,
+    test_waves: np.ndarray,
+    frontend_cfg: FrontendConfig,
+    lengths=None,
+    strengths=None,
+    refit_arrays: tuple[np.ndarray, np.ndarray] | None = None,
+    seed: int = 0,
+    mixture_p: float = 0.01,
+    backend: str = "auto",
+) -> SweepResult:
+    """Audio-domain sweep as ONE jitted program per point: noise -> fused
+    MFCC -> (per-point scaler refit) -> both models' predicts -> two scalar
+    accuracies. Nothing but two floats crosses the host boundary per sweep
+    point, and the strength is traced so the whole sweep shares one
+    executable (VERDICT r2 item 7 / SURVEY §3.5's fusion target — the
+    reference re-runs librosa per file per point, `VD/attacks.py:124-142`).
+
+    `refit_arrays` = (train, dev) feature arrays for the reference's
+    per-point scaler REFIT on [train; dev; perturbed-test]
+    (`attacks.py:341-343,437-438` via `standardize_dataset`); None skips
+    standardization. `logits_*` take standardized flat features.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from ..frontend.mfcc import Frontend
+
+    if strengths is None:
+        strengths = {
+            "white_audio": GRIDS["audio_sigmas"],
+            "mixture_audio": GRIDS["audio_alphas"],
+            "snr_audio": GRIDS["snrs_db"],
+        }[attack]
+    fe = Frontend(frontend_cfg, backend=backend)
+    mfcc_fn = fe._BACKENDS[fe.backend]
+    refit = refit_arrays is not None
+    d_waves = jax.device_put(np.asarray(test_waves, np.float32))
+    d_labels = jax.device_put(np.asarray(labels, np.int32))
+    d_lengths = (jax.device_put(np.asarray(lengths, np.int64))
+                 if lengths is not None else None)
+    d_tr = d_dv = None
+    if refit:
+        d_tr = jax.device_put(np.asarray(refit_arrays[0], np.float32))
+        d_dv = jax.device_put(np.asarray(refit_arrays[1], np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("kind",))
+    def point(kind, waves, lens, labs, key, strength, tr, dv):
+        kw = {"white_audio": dict(sigma=strength),
+              "mixture_audio": dict(p=mixture_p, alpha=strength),
+              "snr_audio": dict(snr_db=strength),
+              "clean": {}}[kind]
+        noisy = blackbox.noisy_waves(waves, key, lengths=lens, **kw)
+        feats = mfcc_fn(noisy, frontend_cfg, lengths=lens)
+        feats = feats.reshape(feats.shape[0], -1)
+        if refit:
+            # sklearn StandardScaler semantics on the concatenation
+            # (ddof=0; constant features keep scale 1) — data/pipeline.py
+            # standardize_fit_all, now in-graph
+            allf = jnp.concatenate([tr, dv, feats], axis=0)
+            mu = jnp.mean(allf, axis=0)
+            sd = jnp.std(allf, axis=0)
+            sd = jnp.where(sd == 0.0, 1.0, sd)
+            feats = (feats - mu) / sd
+        acc_c = jnp.mean(
+            (jnp.argmax(logits_constrained(feats), -1) == labs)
+        )
+        acc_u = jnp.mean(
+            (jnp.argmax(logits_unconstrained(feats), -1) == labs)
+        )
+        return acc_c, acc_u
+
+    key = jax.random.PRNGKey(seed)
+    acc_c, acc_u = [], []
+    for i, s in enumerate(np.asarray(strengths)):
+        k = jax.random.fold_in(key, i)
+        # strength 0 means "clean" for sigma/alpha sweeps in the reference;
+        # branch selection is static per kind, so pass the traced scalar
+        # only when the noise path is active
+        if attack in ("white_audio", "mixture_audio") and float(s) == 0.0:
+            kind_kw = "clean"
+            ac, au = point("clean", d_waves, d_lengths, d_labels, k,
+                           jnp.float32(0.0), d_tr, d_dv)
+        else:
+            ac, au = point(attack, d_waves, d_lengths, d_labels, k,
+                           jnp.float32(s), d_tr, d_dv)
+        acc_c.append(float(ac))
+        acc_u.append(float(au))
     return SweepResult(attack, np.asarray(strengths), np.asarray(acc_c),
                        np.asarray(acc_u))
 

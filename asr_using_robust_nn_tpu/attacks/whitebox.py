@@ -90,6 +90,7 @@ def jsma(
     key=None,
     clip=None,
     max_iter: int | None = None,
+    k_candidates: int = 128,
 ) -> jnp.ndarray:
     """Jacobian Saliency Map Attack with feature pairs (SaliencyMapMethod,
     theta=10, gamma=0.1 at `attacks.py:546`). Targeted; `targets=None` draws
@@ -105,6 +106,18 @@ def jsma(
     `max_iter` caps the saliency loop (default 4x the pair budget) so a
     cycling pair can't spin forever; ART has no such cap but terminates in
     practice for the same reason this cap is rarely hit.
+
+    Pair selection never materializes the (n_feat, n_feat) saliency matrix
+    when n_feat > 2*k_candidates (VERDICT r2 item 6): the pair objective
+    (a_p+a_q)*(-(b_p+b_q)) is monotone in each endpoint's (alpha, -beta), so
+    any optimal pair can be chosen with both endpoints Pareto-optimal in
+    that plane; the union of top-k by alpha and top-k by -beta covers the
+    front's both ends, and the 2k x 2k candidate product is searched
+    exactly. Exact whenever 2*k_candidates >= n_feat (the dense matrix is
+    never needed); for larger n it is exact unless the optimal pair's
+    endpoints BOTH fall outside BOTH top-k sets (a >2k-point Pareto front
+    with the max in its middle — pathological). The 2020-dim speaker task
+    drops from a 4.1M-entry matrix per sample-iteration to 256x256.
     """
     n_feat = x.shape[-1]
     logits0 = logits_fn(x)
@@ -118,6 +131,31 @@ def jsma(
     budget = max(2, int(gamma * n_feat))
     if max_iter is None:
         max_iter = max(2 * budget, 8)
+    k_cand = min(k_candidates, n_feat)
+
+    def select_pair(alpha, beta, search):
+        """-> (p, q, any_valid): argmax of the Papernot pair saliency over
+        the top-k candidate set (exact for 2k >= n_feat)."""
+        a_m = jnp.where(search, alpha, -jnp.inf)
+        c_m = jnp.where(search, -beta, -jnp.inf)
+        _, ia = jax.lax.top_k(a_m, k_cand)
+        _, ic = jax.lax.top_k(c_m, k_cand)
+        cand = jnp.concatenate([ia, ic])  # (2k,) may repeat; masked below
+        ac, bc, sc = alpha[cand], beta[cand], search[cand]
+        a_pair = ac[:, None] + ac[None, :]
+        b_pair = bc[:, None] + bc[None, :]
+        valid = (
+            (a_pair > 0)
+            & (b_pair < 0)
+            & sc[:, None]
+            & sc[None, :]
+            & (cand[:, None] != cand[None, :])
+        )
+        score = jnp.where(valid, -a_pair * b_pair, -jnp.inf)
+        m = cand.shape[0]
+        flat = jnp.argmax(score)
+        any_valid = jnp.isfinite(score.reshape(-1)[flat])
+        return cand[flat // m], cand[flat % m], any_valid
 
     def single(x0, t):
         def logits_single(xx):
@@ -132,30 +170,19 @@ def jsma(
             jac = jax.jacrev(logits_single)(xa)  # (n_classes, n_feat)
             alpha = jac[t]
             beta = jac.sum(axis=0) - alpha
-            # pair saliency: S(p,q) = -(a_p+a_q)*(b_p+b_q) where a_sum>0, b_sum<0
-            a_pair = alpha[:, None] + alpha[None, :]
-            b_pair = beta[:, None] + beta[None, :]
-            valid = (
-                (a_pair > 0)
-                & (b_pair < 0)
-                & search[:, None]
-                & search[None, :]
-                & (~jnp.eye(n_feat, dtype=bool))
-            )
-            score = jnp.where(valid, -a_pair * b_pair, -jnp.inf)
-            flat = jnp.argmax(score)
-            p, q = flat // n_feat, flat % n_feat
-            any_valid = jnp.isfinite(score.reshape(-1)[flat])
+            # pair saliency: S(p,q) = -(a_p+a_q)*(b_p+b_q), a_sum>0, b_sum<0
+            p, q, any_valid = select_pair(alpha, beta, search)
             delta = jnp.zeros_like(xa).at[p].add(theta).at[q].add(theta)
             xa_new = jnp.where(any_valid, xa + delta, xa)
             if clip is not None:
                 xa_new = jnp.clip(xa_new, clip[0], clip[1])
                 # drop features pinned at the bound from the search space
-                # (ART removes indices where the clip value was reached)
-                bound = clip[1] if theta > 0 else clip[0]
-                search = search & jnp.where(
-                    any_valid, xa_new != bound, search
+                # (ART removes indices where x >= clip_max for theta > 0,
+                # resp. x <= clip_min — inequality, not exact equality)
+                at_bound = (
+                    xa_new >= clip[1] if theta > 0 else xa_new <= clip[0]
                 )
+                search = search & jnp.where(any_valid, ~at_bound, search)
             used = jnp.where(
                 any_valid, used.at[p].set(True).at[q].set(True), used
             )
@@ -164,14 +191,14 @@ def jsma(
             done = hit | jnp.logical_not(any_valid) | over_budget
             return (xa_new, used, search, i + 1, done)
 
-        # ART excludes features already AT the bound from the search domain
-        # up front (SaliencyMapMethod: x >= clip_max for theta > 0), so a
-        # clipped-to-no-op pair can never be selected or consume the gamma
-        # budget
+        # ART excludes features already at-or-past the bound from the search
+        # domain up front (SaliencyMapMethod: x >= clip_max for theta > 0,
+        # resp. x <= clip_min), so a clipped-to-no-op pair can never be
+        # selected or consume the gamma budget. Inputs strictly outside the
+        # clip range are excluded too (inequality, not exact equality).
         search0 = jnp.ones((n_feat,), bool)
         if clip is not None:
-            bound = clip[1] if theta > 0 else clip[0]
-            search0 = x0 != bound
+            search0 = x0 < clip[1] if theta > 0 else x0 > clip[0]
         init = (x0, jnp.zeros((n_feat,), bool), search0, 0,
                 jnp.asarray(False))
         xa, _, _, _, _ = jax.lax.while_loop(cond, body, init)
@@ -191,6 +218,65 @@ def _cw_objective(logits, t, confidence, targeted):
     return jnp.maximum(z_t - z_other + confidence, 0.0)
 
 
+def _art_line_search_step(obj_per, w, lr, loss_now, direction,
+                          max_halving, max_doubling):
+    """One ART-semantics adaptive-lr update, vectorized over samples AND
+    candidate step sizes.
+
+    ART's CarliniL2Method replaces Adam with a bespoke per-sample line
+    search each iteration (SURVEY ref `VD/attacks.py:606-622` reaches it):
+      halving:  try lr; while loss >= previous, halve (up to max_halving);
+      doubling: if the UNhalved lr already improved, keep doubling while
+                each doubling improves on the last (up to max_doubling);
+      no-move:  if nothing improves, stay put and carry the collapsed lr.
+    Sequential on host in ART; here the whole candidate ladder
+    lr * 2^k, k in [-(max_halving-1) .. max_doubling], is evaluated as ONE
+    widened batched forward and the SAME accept rule is applied per sample —
+    identical trajectory, TPU-shaped (documented divergence: candidates
+    past the accept point are computed and discarded, not skipped).
+
+    obj_per(w) -> per-sample objective (B,). Returns (w_new, lr_new).
+    """
+    n_half = max(max_halving - 1, 0)
+    ks = jnp.arange(-n_half, max_doubling + 1, dtype=jnp.float32)
+    cand_lr = lr[None, :] * (2.0 ** ks)[:, None]               # (K, B)
+    wc = w[None] + cand_lr[..., None] * direction[None]        # (K, B, D)
+    # vmap over the candidate axis: XLA fuses the K forwards into one
+    # widened batch (the whole ladder costs one (K*B)-row model call)
+    obj_c = jax.vmap(obj_per)(wc)                              # (K, B)
+    improved = obj_c < loss_now[None, :]                       # (K, B)
+
+    i0 = n_half  # index of the un-scaled lr candidate
+    base_ok = improved[i0]
+    # doubling chain: largest k such that every doubling up to k improved
+    # on its predecessor (ART doubles only while it keeps getting better)
+    dbl_better = obj_c[i0 + 1:] < obj_c[i0:-1] if max_doubling > 0 else (
+        jnp.zeros((0, w.shape[0]), bool))
+    chain = jnp.cumprod(dbl_better & improved[i0 + 1:], axis=0).astype(bool)
+    n_dbl = jnp.sum(chain, axis=0)                             # (B,)
+    pick_dbl = i0 + n_dbl
+    # halving: first improving candidate walking lr, lr/2, ... (row i0
+    # downward) — ART stops at the first improvement
+    halv_rows = improved[i0::-1]                               # lr, lr/2, ..
+    first_halv = jnp.argmax(halv_rows, axis=0)                 # (B,)
+    any_halv = jnp.any(halv_rows, axis=0)
+    pick_halv = i0 - first_halv
+    pick = jnp.where(base_ok, pick_dbl, pick_halv)             # (B,)
+    accept = base_ok | any_halv
+
+    bidx = jnp.arange(w.shape[0])
+    w_new = jnp.where(accept[:, None], wc[pick, bidx], w)
+    # accepted lr persists; total failure carries the fully halved lr
+    lr_new = jnp.where(accept, cand_lr[pick, bidx],
+                       lr / (2.0 ** max(max_halving, 1)))
+    return w_new, lr_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("logits_fn", "binary_search_steps", "max_iter",
+                     "optimizer", "max_halving", "max_doubling"),
+)
 def carlini_l2(
     logits_fn,
     x,
@@ -201,78 +287,118 @@ def carlini_l2(
     max_iter: int = 10,
     initial_const: float = 0.01,
     clip=None,
+    optimizer: str = "art",
+    max_halving: int = 5,
+    max_doubling: int = 5,
 ) -> jnp.ndarray:
     """Carlini&Wagner L2 (CarliniL2Method, `attacks.py:606-622`): minimize
     ||delta||^2 + c*f(x+delta) in tanh space, binary search over c. `clip`
     defaults to the per-batch (min, max) like ART does without clip_values.
+
+    optimizer='art' (default) uses ART's adaptive-lr line search with
+    max_halving/max_doubling (ART's defaults are 5/5) — the schedule the
+    reference's numbers were produced with; optimizer='adam' keeps the
+    C&W-paper-style Adam loop. The ENTIRE attack — all binary-search steps,
+    all iterations, the line-search ladder — is ONE jitted program
+    (`lax.scan` over c-steps and iterations): a confidence sweep
+    (linspace(1,300,3), `attacks.py:607`) traces once and reuses the
+    executable for every point (VERDICT r2 item 5).
     """
+    b = x.shape[0]
     if clip is None:
-        clip = (float(jnp.min(x)), float(jnp.max(x)))
-    lo, hi = clip
+        lo, hi = jnp.min(x), jnp.max(x)  # traced, not host floats
+    else:
+        lo, hi = clip
     span, mid = (hi - lo) / 2.0, (hi + lo) / 2.0
     x_c = jnp.clip(x, lo + 1e-6, hi - 1e-6)
     w0 = jnp.arctanh((x_c - mid) / (span + 1e-9) * 0.999999)
 
+    def to_x(w):
+        return jnp.tanh(w) * span + mid
+
+    def obj_per(w, c):
+        xa = to_x(w)
+        l2 = jnp.sum((xa - x) ** 2, axis=-1)
+        f = _cw_objective(logits_fn(xa), y, confidence, targeted=False)
+        return l2 + c * f
+
+    opt = optax.adam(learning_rate)
+
     def attack_at_c(c):
-        # c: (B,) per-sample constant
-        opt = optax.adam(learning_rate)
+        """(B,) per-sample constants -> (best_x, success) after max_iter."""
 
-        def to_x(w):
-            return jnp.tanh(w) * span + mid
-
-        def obj(w):
-            xa = to_x(w)
-            l2 = jnp.sum((xa - x) ** 2, axis=-1)
-            f = _cw_objective(logits_fn(xa), y, confidence, targeted=False)
-            return jnp.sum(l2 + c * f)
-
-        def body(carry, _):
-            w, opt_state, best_x, best_l2 = carry
-            g = jax.grad(obj)(w)
-            updates, opt_state = opt.update(g, opt_state)
-            w = optax.apply_updates(w, updates)
+        def track(w, best_x, best_l2):
             xa = to_x(w)
             f = _cw_objective(logits_fn(xa), y, confidence, targeted=False)
             l2 = jnp.sum((xa - x) ** 2, axis=-1)
             better = (f <= 0.0) & (l2 < best_l2)
-            best_x = jnp.where(better[:, None], xa, best_x)
-            best_l2 = jnp.where(better, l2, best_l2)
-            return (w, opt_state, best_x, best_l2), None
+            return (jnp.where(better[:, None], xa, best_x),
+                    jnp.where(better, l2, best_l2))
 
-        init = (w0, opt.init(w0), x, jnp.full((x.shape[0],), jnp.inf))
-        (w, _, best_x, best_l2), _ = jax.lax.scan(
-            body, init, None, length=max_iter
-        )
+        if optimizer == "adam":
+
+            def body(carry, _):
+                w, opt_state, best_x, best_l2 = carry
+                g = jax.grad(lambda ww: jnp.sum(obj_per(ww, c)))(w)
+                updates, opt_state = opt.update(g, opt_state)
+                w = optax.apply_updates(w, updates)
+                best_x, best_l2 = track(w, best_x, best_l2)
+                return (w, opt_state, best_x, best_l2), None
+
+            init = (w0, opt.init(w0), x, jnp.full((b,), jnp.inf))
+            (w, _, best_x, best_l2), _ = jax.lax.scan(
+                body, init, None, length=max_iter
+            )
+        else:  # 'art' line search
+
+            def body(carry, _):
+                w, lr, best_x, best_l2 = carry
+                g = jax.grad(lambda ww: jnp.sum(obj_per(ww, c)))(w)
+                w, lr = _art_line_search_step(
+                    lambda ww: obj_per(ww, c), w, lr, obj_per(w, c), -g,
+                    max_halving, max_doubling,
+                )
+                best_x, best_l2 = track(w, best_x, best_l2)
+                return (w, lr, best_x, best_l2), None
+
+            init = (w0, jnp.full((b,), learning_rate), x,
+                    jnp.full((b,), jnp.inf))
+            (w, _, best_x, best_l2), _ = jax.lax.scan(
+                body, init, None, length=max_iter
+            )
         success = jnp.isfinite(best_l2)
-        # failed samples keep the final iterate (ART returns best found)
         final_x = jnp.where(success[:, None], best_x, to_x(w))
-        return final_x, success
+        return final_x, success, best_l2
 
-    c_lo = jnp.zeros((x.shape[0],))
-    c_hi = jnp.full((x.shape[0],), 1e10)
-    c = jnp.full((x.shape[0],), initial_const)
-    best_overall = x
-    found = jnp.zeros((x.shape[0],), bool)
-    for _ in range(binary_search_steps):
-        xa, success = attack_at_c(c)
-        best_overall = jnp.where(
-            (success & ~found)[:, None]
-            | (
-                success
-                & (jnp.sum((xa - x) ** 2, -1) < jnp.sum((best_overall - x) ** 2, -1))
-            )[:, None],
-            xa,
-            best_overall,
+    def bss_body(carry, _):
+        c_lo, c_hi, c, best_overall, found = carry
+        xa, success, _ = attack_at_c(c)
+        better = (
+            (success & ~found)
+            | (success
+               & (jnp.sum((xa - x) ** 2, -1)
+                  < jnp.sum((best_overall - x) ** 2, -1)))
         )
+        best_overall = jnp.where(better[:, None], xa, best_overall)
         found = found | success
         c_hi = jnp.where(success, c, c_hi)
         c_lo = jnp.where(success, c_lo, c)
-        c = jnp.where(
-            c_hi < 1e9, (c_lo + c_hi) / 2.0, c * 10.0
-        )
+        c = jnp.where(c_hi < 1e9, (c_lo + c_hi) / 2.0, c * 10.0)
+        return (c_lo, c_hi, c, best_overall, found), None
+
+    init = (jnp.zeros((b,)), jnp.full((b,), 1e10),
+            jnp.full((b,), initial_const), x, jnp.zeros((b,), bool))
+    (_, _, _, best_overall, _), _ = jax.lax.scan(
+        bss_body, init, None, length=binary_search_steps
+    )
     return best_overall
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("logits_fn", "max_iter", "tau_steps", "optimizer",
+                     "max_halving", "max_doubling"),
+)
 def carlini_linf(
     logits_fn,
     x,
@@ -284,34 +410,62 @@ def carlini_linf(
     tau_decrease: float = 0.9,
     tau_steps: int = 6,
     const: float = 1.0,
+    optimizer: str = "adam",
+    max_halving: int = 5,
+    max_doubling: int = 5,
 ) -> jnp.ndarray:
     """Carlini&Wagner L-inf variant (CarliniLInfMethod, `attacks.py:571-587`):
     minimize c*f(x+delta) + sum(max(|delta| - tau, 0)) with tau shrinking
-    geometrically — the penalty formulation from the C&W paper section VI."""
-    span = float(jnp.max(x) - jnp.min(x) + 1e-9)
-    tau = initial_tau if initial_tau is not None else span / 10.0
-    best = x
-    best_linf = jnp.full((x.shape[0],), jnp.inf)
-    found = jnp.zeros((x.shape[0],), bool)
-    delta = jnp.zeros_like(x)
-    for _ in range(tau_steps):
-        opt = optax.adam(learning_rate)
+    geometrically — the penalty formulation from the C&W paper section VI.
 
-        def obj(d, tau=tau):
-            xa = x + d
-            f = _cw_objective(logits_fn(xa), y, confidence, targeted=False)
-            excess = jnp.maximum(jnp.abs(d) - tau, 0.0).sum(-1)
-            return jnp.sum(const * f + excess)
+    One jitted program: the tau schedule is a `lax.scan` over tau_steps
+    (each containing a scan over max_iter), so a confidence sweep compiles
+    once and reuses the executable per point (VERDICT r2 item 5);
+    optimizer='art' swaps Adam for the ART-style per-sample lr line search
+    (`_art_line_search_step`)."""
+    b = x.shape[0]
+    span = jnp.max(x) - jnp.min(x) + 1e-9
+    tau0 = (jnp.float32(initial_tau) if initial_tau is not None
+            else span / 10.0)
 
-        opt_state = opt.init(delta)
+    def obj_per(d, tau):
+        xa = x + d
+        f = _cw_objective(logits_fn(xa), y, confidence, targeted=False)
+        excess = jnp.maximum(jnp.abs(d) - tau, 0.0).sum(-1)
+        return const * f + excess
 
-        def body(carry, _):
-            d, opt_state = carry
-            g = jax.grad(obj)(d)
-            updates, opt_state = opt.update(g, opt_state)
-            return (optax.apply_updates(d, updates), opt_state), None
+    opt = optax.adam(learning_rate)
 
-        (delta, _), _ = jax.lax.scan(body, (delta, opt_state), None, length=max_iter)
+    def tau_body(carry, _):
+        delta, tau, best, best_linf, found = carry
+
+        if optimizer == "adam":
+
+            def body(inner, _):
+                d, opt_state = inner
+                g = jax.grad(lambda dd: jnp.sum(obj_per(dd, tau)))(d)
+                updates, opt_state = opt.update(g, opt_state)
+                return (optax.apply_updates(d, updates), opt_state), None
+
+            (delta, _), _ = jax.lax.scan(
+                body, (delta, opt.init(delta)), None, length=max_iter
+            )
+        else:  # 'art'
+
+            def body(inner, _):
+                d, lr = inner
+                g = jax.grad(lambda dd: jnp.sum(obj_per(dd, tau)))(d)
+                d, lr = _art_line_search_step(
+                    lambda dd: obj_per(dd, tau), d, lr, obj_per(d, tau), -g,
+                    max_halving, max_doubling,
+                )
+                return (d, lr), None
+
+            (delta, _), _ = jax.lax.scan(
+                body, (delta, jnp.full((b,), learning_rate)), None,
+                length=max_iter,
+            )
+
         xa = x + delta
         f = _cw_objective(logits_fn(xa), y, confidence, targeted=False)
         linf = jnp.max(jnp.abs(delta), -1)
@@ -322,7 +476,12 @@ def carlini_linf(
         best = jnp.where(better[:, None], xa, best)
         best_linf = jnp.where(better, linf, best_linf)
         found = found | success
-        tau *= tau_decrease
+        return (delta, tau * tau_decrease, best, best_linf, found), None
+
+    init = (jnp.zeros_like(x), tau0, x, jnp.full((b,), jnp.inf),
+            jnp.zeros((b,), bool))
+    (delta, _, best, _, found), _ = jax.lax.scan(
+        tau_body, init, None, length=tau_steps
+    )
     # unfound samples return the final iterate
-    best = jnp.where(found[:, None], best, x + delta)
-    return best
+    return jnp.where(found[:, None], best, x + delta)

@@ -85,6 +85,10 @@ def _add_train(sub):
     p.add_argument("--metrics-dir", default=None,
                    help="write JSONL + TensorBoard scalars here (the "
                         "reference's TensorBoard callback equivalent)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed precision: bf16 MXU matmuls with f32 master "
+                        "weights/optimizer/BN (parity-gated <0.2%% clean-"
+                        "accuracy delta; models/mlp.py MLPConfig.with_bf16)")
 
 
 def _add_attack(sub):
@@ -220,7 +224,7 @@ _TRAIN_CONF_KEYS = {
     "rho": None, "epochs": None, "patience": None, "batch_size": None,
     "seed": None, "log_every": None, "data_parallel": None,
     "device_resident": None, "monitor_lipschitz": None,
-    "no_standardize": None, "epochs_per_dispatch": None,
+    "no_standardize": None, "epochs_per_dispatch": None, "bf16": None,
 }
 
 
@@ -285,6 +289,8 @@ def cmd_train(args):
         tr, dv, te, _, _ = standardize_fit_all(d.train_data, d.dev_data, d.test_data)
 
     cfg = model_cfg_for(args.task, args.variant)
+    if getattr(args, "bf16", False):
+        cfg = cfg.with_bf16()
     defaults = _REF_DEFAULTS[(args.task, args.variant)]
     batch = args.batch_size or defaults["batch"]
     patience = args.patience if args.patience is not None else defaults["patience"]
@@ -448,6 +454,8 @@ def cmd_attack(args):
                 standardize=std, seed=args.seed,
             )
         else:
+            from ..attacks.sweeps import fused_audio_sweep
+
             cap = max(len(w) for w in waves_list)
             cap = -(-cap // fe_cfg.sr) * fe_cfg.sr
             waves = np.zeros((len(waves_list), cap), np.float32)
@@ -455,10 +463,13 @@ def cmd_attack(args):
             for i, w in enumerate(waves_list):
                 waves[i, : len(w)] = w
                 lengths[i] = len(w)
-            res = blackbox_sweep(
-                args.type, predict_c, predict_u, labels, strengths=strengths,
+            # one jitted noise->MFCC->refit-standardize->predict program per
+            # sweep point; only two accuracy scalars come back to host
+            res = fused_audio_sweep(
+                args.type, logits_c, logits_u, labels,
                 test_waves=waves, lengths=lengths, frontend_cfg=fe_cfg,
-                standardize=std, seed=args.seed,
+                strengths=strengths, refit_arrays=(tr_cur, dv_cur),
+                seed=args.seed,
             )
     elif args.type in ("white_mfcc", "mixture_mfcc"):
         res = blackbox_sweep(

@@ -66,14 +66,24 @@ class Frontend:
     }
 
     def __init__(self, cfg: FrontendConfig, backend: str = "auto"):
-        if backend == "auto":
-            import jax
-
-            backend = _auto_backend(cfg, jax.default_backend())
-        if backend not in self._BACKENDS:
+        # 'auto' resolution needs jax.default_backend(), which initializes
+        # the JAX backend — a constructor side effect that would pin the
+        # platform/device count before callers set XLA flags (the parse-once
+        # hazard __graft_entry__ documents). Defer it to the first __call__;
+        # by then the caller is about to run on a device anyway.
+        if backend != "auto" and backend not in self._BACKENDS:
             raise ValueError(f"unknown frontend backend {backend!r}")
         self.cfg = cfg
-        self.backend = backend
+        self._backend = backend
+
+    @property
+    def backend(self) -> str:
+        """Resolved backend name (resolves 'auto' on first access)."""
+        if self._backend == "auto":
+            import jax
+
+            self._backend = _auto_backend(self.cfg, jax.default_backend())
+        return self._backend
 
     def __call__(self, waves, lengths=None):
         waves = np.ascontiguousarray(waves, dtype=np.float32) if isinstance(

@@ -43,6 +43,17 @@ class MLPConfig:
     nonneg: bool = False  # Keras kernel_constraint=NonNeg() on every Dense
     bn_momentum: float = 0.99
     bn_eps: float = 1e-3
+    # Mixed precision: 'bfloat16' runs every Dense matmul (fwd AND the two
+    # backward GEMMs, via the cast's transpose rule) on the MXU's bf16 path
+    # with f32 accumulation, while master weights, optimizer state, BN
+    # statistics, softmax/CCE, and the constraint projection stay f32 —
+    # the standard TPU mixed-precision recipe. Parity-gated by
+    # tests/test_models_train.py::TestBF16Parity (clean-accuracy delta
+    # <0.2% vs f32 per VERDICT r2 item 2).
+    compute_dtype: str = "float32"
+
+    def with_bf16(self) -> "MLPConfig":
+        return dataclasses.replace(self, compute_dtype="bfloat16")
 
     @staticmethod
     def digit_unconstrained() -> "MLPConfig":
@@ -131,8 +142,17 @@ def apply_mlp(
         denom = jnp.sum(weights) + 1e-9
     if train and rng is not None:
         drop_keys = jax.random.split(rng, max(n_hidden, 1))
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     for i, p in enumerate(params["layers"]):
-        h = h @ p["w"] + p["b"]
+        if cdt is not None:
+            # bf16 operands, f32 MXU accumulation; grads flow back through
+            # the casts so dW/dX GEMMs run bf16 too, master grads are f32
+            h = jax.lax.dot(
+                h.astype(cdt), p["w"].astype(cdt),
+                preferred_element_type=jnp.float32,
+            ) + p["b"]
+        else:
+            h = h @ p["w"] + p["b"]
         if i == n_hidden:  # output layer: logits
             new_slayers.append(dict(state["layers"][i]))  # keep structure
             break

@@ -182,3 +182,18 @@ class TensorParallelTrainer(Trainer):
             jax.device_put(np.asarray(x, np.float32), xs),
             jax.device_put(np.asarray(y, np.int32), ys),
         )
+
+    # fit() hooks: route the inherited loop through the TP placements so
+    # tp.fit() actually trains sharded (previously it fell back to the base
+    # trainer's unsharded init_mlp/numpy-batch path).
+    def _init_train_state(self, key):
+        return self.make_train_state(key)
+
+    def _place_batch(self, x, y):
+        n_data = self.mesh.shape[DATA_AXIS]
+        if len(x) % n_data:
+            # ragged final batch can't split evenly on 'data'; let jit
+            # replicate it — the SPMD program stays correct, just slower
+            # for this one batch
+            return x, y
+        return self.place_batch(x, y)

@@ -125,6 +125,20 @@ class Trainer:
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
         self.eval_step = jax.jit(eval_step)
 
+    def _init_train_state(self, key):
+        """-> (params, state, opt_state, cstate). Subclasses that place
+        buffers on a mesh (TensorParallelTrainer) override this so fit()
+        trains with their shardings."""
+        params, state = init_mlp(self.model_cfg, key)
+        opt_state = self.optimizer.init(params)
+        cstate = jax.tree.map(jnp.array, self.constraint_state)
+        return params, state, opt_state, cstate
+
+    def _place_batch(self, x, y):
+        """Hook for subclasses to shard host batches before a step; the base
+        trainer lets jit stream numpy to the default device."""
+        return x, y
+
     def _batches(self, n, rng):
         idx = np.arange(n)
         if self.cfg.shuffle:
@@ -180,14 +194,14 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         if params is None:
             key, k0 = jax.random.split(key)
-            params, state = init_mlp(self.model_cfg, k0)
+            params, state, opt_state, cstate = self._init_train_state(k0)
         else:
             # the jitted steps donate their inputs; never donate buffers the
             # caller still owns (a second fit() would hit deleted arrays)
             params = jax.tree.map(jnp.array, params)
             state = jax.tree.map(jnp.array, state)
-        opt_state = self.optimizer.init(params)
-        cstate = jax.tree.map(jnp.array, self.constraint_state)
+            opt_state = self.optimizer.init(params)
+            cstate = jax.tree.map(jnp.array, self.constraint_state)
 
         train_x = np.asarray(train_x, dtype=np.float32)
         train_y = np.asarray(train_y, dtype=np.int32)
@@ -297,9 +311,9 @@ class Trainer:
                 ep_loss = ep_acc = ep_n = 0.0
                 for bidx in batch_idx:
                     key, krng = jax.random.split(key)
+                    bx, by = self._place_batch(train_x[bidx], train_y[bidx])
                     params, state, opt_state, cstate, loss, acc = self.train_step(
-                        params, state, opt_state, cstate,
-                        train_x[bidx], train_y[bidx], krng,
+                        params, state, opt_state, cstate, bx, by, krng,
                     )
                     ep_loss += float(loss) * len(bidx)
                     ep_acc += float(acc) * len(bidx)

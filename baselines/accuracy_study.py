@@ -1,0 +1,531 @@
+"""Same-data two-pipeline accuracy-parity study (VERDICT r2 item 1).
+
+Runs the REFERENCE RECIPE (Keras/TF on CPU — the exact model graphs, batch
+sizes, optimizer, constraint callback, and early-stopping protocol of
+`Voice digit recogniton/train_google_dataset.py:77-99`,
+`train_constraints.py:91-119`, `Speaker recognition/train_no_constraints.py`)
+and THIS FRAMEWORK side by side on IDENTICAL synthetic corpora — same WAV
+files, same seeded 70/20/10 split, same standardizer protocol, same
+robustness probes — and reports clean accuracy + robustness points with
+deltas. The north-star acceptance is |delta| <= 0.5 accuracy points on the
+seed-averaged numbers (BASELINE.json).
+
+Feature extraction parity: the reference calls librosa; librosa is not in
+this image, so the reference pipeline uses our float64 librosa-semantics
+oracle (`ops/frontend_ref.py`, parity-tested against librosa's published
+semantics in tests/test_frontend.py) — per-file, sequential, exactly the
+reference's loop structure (`VD/extract_features_construct_dataset.py:144-150`).
+The framework pipeline uses the fused TPU frontend. The two feature sets
+agree to <= ~5e-4 absolute (tests/test_frontend.py), so any accuracy delta
+is attributable to training, not features.
+
+Real corpora: Speech Commands v0.02 / RoDigits are not fetchable from this
+environment (zero network egress — attempted and documented in the output
+JSON); the study runs on the hard synthetic corpora from
+examples/hard_corpus.py, which are built to make the Lipschitz constraint
+bind (class overlap + label noise + non-robust shortcut features).
+
+Shared-noise protocol: black-box robustness points add THE SAME noise draw
+to each pipeline's own features (per seed/sigma), so the black-box deltas
+measure model differences, not sampling variance. FGSM is necessarily
+per-model (it uses each model's own gradients).
+
+    python baselines/accuracy_study.py --seeds 3 --out baselines/accuracy_study.json
+
+Writes the JSON plus a markdown table to docs/ACCURACY_STUDY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from asr_using_robust_nn_tpu.data.corpus import DIGIT_WORDS, walk_corpus
+from asr_using_robust_nn_tpu.data.pipeline import (
+    slice_seconds,
+    split_files,
+    standardize_fit_all,
+)
+from asr_using_robust_nn_tpu.ops.frontend_ref import mfcc_fixed_length_ref
+from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig
+from asr_using_robust_nn_tpu.utils import native
+
+# robustness probe grids (on standardized features; documented protocol —
+# the reference's raw-feature grids span 0..100 because its features are
+# unstandardized dB values, `VD/attacks.py:320`)
+NOISE_SIGMAS = [0.5, 1.0]
+FGSM_EPS = [0.1, 0.3]
+
+
+# --------------------------------------------------------------------------
+# shared corpus + features
+# --------------------------------------------------------------------------
+
+def decode_files(files, sr):
+    return native.decode_resample_batch(list(files), sr)
+
+
+def reference_features_digit(files, cfg: FrontendConfig):
+    """The reference's sequential per-file loop (`VD/...py:144-150`) on the
+    f64 oracle; returns (N, 880) float64."""
+    waves = decode_files(files, cfg.sr)
+    out = np.stack([
+        mfcc_fixed_length_ref(
+            w.astype(np.float64), sr=cfg.sr, n_mfcc=cfg.n_mfcc,
+            n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+            win_length=cfg.win_length, utterance_length=cfg.utterance_length,
+        ).reshape(-1)
+        for w in waves
+    ])
+    return out
+
+
+def reference_features_speaker(files, labels, cfg: FrontendConfig):
+    """Per-recording slice-into-seconds then per-window MFCC
+    (`SR/extract_features_construct_dataset.py:203-233`)."""
+    waves = decode_files(files, cfg.sr)
+    feats, labs = [], []
+    for w, lab in zip(waves, np.asarray(labels)):
+        for win in slice_seconds(np.asarray(w), cfg.sr):
+            feats.append(
+                mfcc_fixed_length_ref(
+                    win.astype(np.float64), sr=cfg.sr, n_mfcc=cfg.n_mfcc,
+                    n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                    win_length=cfg.win_length,
+                    utterance_length=cfg.utterance_length,
+                ).reshape(-1)
+            )
+            labs.append(lab)
+    return np.stack(feats), np.asarray(labs, np.int64)
+
+
+def framework_features(files, labels, task, cfg):
+    from asr_using_robust_nn_tpu.data.pipeline import (
+        featurize_files,
+        featurize_sliced_files,
+    )
+
+    if task == "digit":
+        return featurize_files(files, cfg), np.asarray(labels, np.int64)
+    return featurize_sliced_files(files, labels, cfg)
+
+
+# --------------------------------------------------------------------------
+# reference recipe (Keras)
+# --------------------------------------------------------------------------
+
+def build_keras_model(task: str, variant: str, seed: int):
+    """The reference's exact graphs: `VD/train_google_dataset.py:49-74`
+    (digit uncon), `VD/train_constraints.py:63-88` (digit con),
+    `SR/train_no_constraints.py:52-75`, `SR/train_constraints.py:63-88`."""
+    import tensorflow as tf
+    from tensorflow.keras.constraints import NonNeg
+    from tensorflow.keras.layers import (
+        BatchNormalization, Dense, Dropout, Input,
+    )
+    from tensorflow.keras.models import Model
+
+    tf.keras.utils.set_random_seed(seed)
+    in_dim = 880 if task == "digit" else 2020
+    n_classes = 10 if task == "digit" else 20
+    hidden = (1024, 512, 256, 128, 64)
+    con = variant == "constrained"
+    kc = NonNeg() if con else None
+    # dropout/BN per variant (SURVEY §2 rows 7-10)
+    if task == "digit":
+        drops = (0.1, 0.1, 0.1, 0.0, 0.0) if con else (0.4,) * 5
+        use_bn = True
+    else:
+        drops = (0.1, 0.1, 0.1, 0.0, 0.0) if con else (0.0,) * 5
+        use_bn = con
+    inp = Input((in_dim,))
+    h = inp
+    for units, dr in zip(hidden, drops):
+        h = Dense(units, activation="relu", kernel_constraint=kc)(h)
+        if use_bn:
+            h = BatchNormalization()(h)
+        if dr:
+            h = Dropout(dr)(h)
+    out = Dense(n_classes, activation="softmax", kernel_constraint=kc)(h)
+    model = Model(inp, out)
+    model.compile(optimizer="adam", loss="categorical_crossentropy",
+                  metrics=["accuracy"])
+    return model
+
+
+class KerasSimpleNormConstraint:
+    """`simple_norm_constraint` (`VD/Constraints.py:135-189`): per-batch
+    host product-spectral-norm projection, the reference's known-good
+    constraint (rho=0.1 digit / 1.0 speaker)."""
+
+    def __new__(cls, rho):
+        from tensorflow.keras.callbacks import Callback
+
+        eps = np.spacing(1)
+
+        class _C(Callback):
+            def on_batch_end(self, batch, logs=None):
+                dense = [l for l in self.model.layers if "dense" in l.name]
+                w_list = [l.get_weights()[0] for l in dense]
+                cst = None
+                for w in reversed(w_list):
+                    cst = w.T if cst is None else cst @ w.T
+                factor = (rho / (np.linalg.norm(cst, ord=2) + eps)) ** (
+                    1 / len(w_list)
+                )
+                for l in dense:
+                    w, b = l.get_weights()
+                    l.set_weights([w * factor, b])
+
+        return _C()
+
+
+def run_reference_pipeline(task, feats, epochs, patience, rho, seed):
+    """Train both variants with the reference recipe; return eval closures."""
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+    import tensorflow as tf
+    from tensorflow.keras.callbacks import EarlyStopping
+
+    tr, ltr, dv, ldv, te, lte = feats
+    n_classes = 10 if task == "digit" else 20
+    batch = {"digit": {"unconstrained": 256, "constrained": 512},
+             "speaker": {"unconstrained": 64, "constrained": 64}}[task]
+    ytr = np.eye(n_classes, dtype=np.float32)[ltr]
+    ydv = np.eye(n_classes, dtype=np.float32)[ldv]
+    out = {}
+    for variant in ("unconstrained", "constrained"):
+        model = build_keras_model(task, variant, seed)
+        callbacks = [EarlyStopping(monitor="val_loss", patience=patience,
+                                   restore_best_weights=True)]
+        if variant == "constrained":
+            callbacks.append(KerasSimpleNormConstraint(rho))
+        model.fit(
+            tr.astype(np.float32), ytr,
+            validation_data=(dv.astype(np.float32), ydv),
+            batch_size=batch[variant], epochs=epochs, verbose=0,
+            shuffle=True, callbacks=callbacks,
+        )
+
+        def make_eval(model):
+            def predict(x):
+                return model.predict(x.astype(np.float32), verbose=0,
+                                     batch_size=1024)
+
+            def fgsm(x, y, eps):
+                loss_obj = tf.keras.losses.CategoricalCrossentropy()
+                xt = tf.constant(x.astype(np.float32))
+                yt = tf.constant(np.eye(n_classes, dtype=np.float32)[y])
+                with tf.GradientTape() as tape:
+                    tape.watch(xt)
+                    loss = loss_obj(yt, model(xt))
+                g = tape.gradient(loss, xt)
+                return (xt + eps * tf.sign(g)).numpy()
+
+            return predict, fgsm
+
+        out[variant] = make_eval(model)
+    return out
+
+
+# --------------------------------------------------------------------------
+# framework recipe
+# --------------------------------------------------------------------------
+
+def run_framework_pipeline(task, feats, epochs, patience, rho, seed,
+                           bf16=False):
+    import jax
+
+    from asr_using_robust_nn_tpu.constraints import (
+        make_simple_norm_constraint,
+    )
+    from asr_using_robust_nn_tpu.models.mlp import (
+        MLPConfig, apply_mlp, init_mlp,
+    )
+    from asr_using_robust_nn_tpu.train import TrainConfig, Trainer
+
+    tr, ltr, dv, ldv, te, lte = feats
+    cfgs = {
+        "unconstrained": (MLPConfig.digit_unconstrained() if task == "digit"
+                          else MLPConfig.speaker_unconstrained()),
+        "constrained": (MLPConfig.digit_constrained() if task == "digit"
+                        else MLPConfig.speaker_constrained()),
+    }
+    batch = {"digit": {"unconstrained": 256, "constrained": 512},
+             "speaker": {"unconstrained": 64, "constrained": 64}}[task]
+    out = {}
+    for variant, cfg in cfgs.items():
+        if bf16:
+            cfg = cfg.with_bf16()
+        constraint = cstate = None
+        if variant == "constrained":
+            con = make_simple_norm_constraint(rho)
+            p0, _ = init_mlp(cfg, jax.random.PRNGKey(seed))
+            constraint, cstate = con.apply, con.init(p0)
+        tcfg = TrainConfig(batch_size=batch[variant], epochs=epochs,
+                           patience=patience, seed=seed,
+                           device_resident=True, epochs_per_dispatch=8)
+        trainer = Trainer(cfg, tcfg, constraint=constraint,
+                          constraint_state=cstate)
+        res = trainer.fit(tr.astype(np.float32), ltr,
+                          dv.astype(np.float32), ldv)
+        params, state = res["best_params"], res["best_state"]
+
+        def make_eval(cfg, params, state):
+            import jax.numpy as jnp
+
+            from asr_using_robust_nn_tpu.attacks import whitebox
+
+            def logits_fn(xx):
+                return apply_mlp(cfg, params, state, xx, train=False)[0]
+
+            def predict(x):
+                probs = []
+                for i in range(0, len(x), 2048):
+                    probs.append(np.asarray(jax.nn.softmax(
+                        logits_fn(jnp.asarray(x[i:i + 2048], jnp.float32)),
+                        -1)))
+                return np.concatenate(probs, 0)
+
+            def fgsm(x, y, eps):
+                return np.asarray(whitebox.fgsm(
+                    logits_fn, jnp.asarray(x, jnp.float32),
+                    jnp.asarray(y, jnp.int32), eps))
+
+            return predict, fgsm
+
+        out[variant] = make_eval(cfg, params, state)
+    return out
+
+
+# --------------------------------------------------------------------------
+# evaluation protocol (shared)
+# --------------------------------------------------------------------------
+
+def evaluate_models(models, te, lte, noise_draws):
+    """-> {variant: {probe: accuracy}} with SHARED noise draws."""
+    rows = {}
+    for variant, (predict, fgsm) in models.items():
+        r = {"clean": float(np.mean(
+            np.argmax(predict(te), -1) == lte))}
+        for s, eps_noise in noise_draws.items():
+            r[f"noise@{s}"] = float(np.mean(
+                np.argmax(predict(te + s * eps_noise), -1) == lte))
+        for eps in FGSM_EPS:
+            adv = fgsm(te, lte, eps)
+            r[f"fgsm@{eps}"] = float(np.mean(
+                np.argmax(predict(adv), -1) == lte))
+        rows[variant] = r
+    return rows
+
+
+def try_fetch_speech_commands() -> str:
+    """One attempt, as VERDICT r2 asks; the env has zero egress."""
+    import urllib.request
+
+    url = ("http://download.tensorflow.org/data/"
+           "speech_commands_v0.02.tar.gz")
+    try:
+        urllib.request.urlopen(url, timeout=10).read(1024)
+        return "reachable (unexpected) — rerun with a downloader"
+    except Exception as e:
+        return f"blocked: {type(e).__name__}: {e}"
+
+
+def run_task(task, args, seed):
+    import examples.hard_corpus as hc
+
+    t0 = time.time()
+    root = os.path.join(args.workdir, f"{task}_s{seed}")
+    if task == "digit":
+        corpus = hc.make_hard_corpus(
+            root, files_per_class=args.files_per_class, seed=seed,
+            sr=22050, shortcut_amp=0.012,
+        )
+        cfg = FrontendConfig.digit()
+        class_names = DIGIT_WORDS
+        rho = 0.1
+    else:
+        corpus = hc.make_speaker_corpus(
+            root, n_speakers=20, recordings=args.recordings, seed=seed,
+            sr=22050,
+        )
+        cfg = FrontendConfig.speaker()
+        class_names = None
+        rho = 1.0
+    files, labels, _ = walk_corpus(corpus, class_names)
+    (ftr, ltr), (fdv, ldv), (fte, lte) = split_files(files, labels, seed)
+
+    # features for BOTH pipelines on the SAME file splits
+    if task == "digit":
+        ref = (reference_features_digit(ftr, cfg), np.asarray(ltr),
+               reference_features_digit(fdv, cfg), np.asarray(ldv),
+               reference_features_digit(fte, cfg), np.asarray(lte))
+        fw_tr, fw_ltr = framework_features(ftr, ltr, task, cfg)
+        fw_dv, fw_ldv = framework_features(fdv, ldv, task, cfg)
+        fw_te, fw_lte = framework_features(fte, lte, task, cfg)
+    else:
+        r_tr, r_ltr = reference_features_speaker(ftr, ltr, cfg)
+        r_dv, r_ldv = reference_features_speaker(fdv, ldv, cfg)
+        r_te, r_lte = reference_features_speaker(fte, lte, cfg)
+        ref = (r_tr, r_ltr, r_dv, r_ldv, r_te, r_lte)
+        fw_tr, fw_ltr = framework_features(ftr, ltr, task, cfg)
+        fw_dv, fw_ldv = framework_features(fdv, ldv, task, cfg)
+        fw_te, fw_lte = framework_features(fte, lte, task, cfg)
+    fw = (fw_tr, fw_ltr, fw_dv, fw_ldv, fw_te, fw_lte)
+    assert ref[0].shape == fw[0].shape, (ref[0].shape, fw[0].shape)
+    feat_gap = float(np.abs(ref[0] - np.asarray(fw[0])).max())
+
+    # standardize fit-on-all, per pipeline on its own features (the
+    # reference's leakage-prone protocol, `VD/train_google_dataset.py:27-33`)
+    def std3(a, b, c):
+        sa, sb, sc, _, _ = standardize_fit_all(a, b, c)
+        return sa, sb, sc
+
+    r_std = std3(ref[0], ref[2], ref[4])
+    f_std = std3(np.asarray(fw[0]), np.asarray(fw[2]), np.asarray(fw[4]))
+    ref_feats = (r_std[0], ref[1], r_std[1], ref[3], r_std[2], ref[5])
+    fw_feats = (f_std[0], fw[1], f_std[1], fw[3], f_std[2], fw[5])
+
+    epochs = args.digit_epochs if task == "digit" else args.speaker_epochs
+    patience = args.patience
+
+    # SHARED noise draws per sigma (same shape for both pipelines)
+    nrng = np.random.default_rng(10_000 + seed)
+    noise_draws = {s: nrng.standard_normal(ref_feats[4].shape)
+                   for s in NOISE_SIGMAS}
+
+    t_ref0 = time.time()
+    ref_models = run_reference_pipeline(task, ref_feats, epochs, patience,
+                                        rho, seed)
+    ref_rows = evaluate_models(ref_models, ref_feats[4], ref_feats[5],
+                               noise_draws)
+    t_ref = time.time() - t_ref0
+    t_fw0 = time.time()
+    fw_models = run_framework_pipeline(task, fw_feats, epochs, patience,
+                                       rho, seed, bf16=args.bf16)
+    fw_rows = evaluate_models(fw_models, fw_feats[4], fw_feats[5],
+                              noise_draws)
+    t_fw = time.time() - t_fw0
+    return {
+        "seed": seed,
+        "n_train": int(len(ref_feats[0])),
+        "n_test": int(len(ref_feats[4])),
+        "feature_max_abs_gap": feat_gap,
+        "reference": ref_rows,
+        "framework": fw_rows,
+        "reference_train_s": round(t_ref, 1),
+        "framework_train_s": round(t_fw, 1),
+        "total_s": round(time.time() - t0, 1),
+    }
+
+
+def summarize(task_runs):
+    """Seed-average both pipelines and compute deltas per probe."""
+    probes = list(task_runs[0]["reference"]["unconstrained"].keys())
+    summary = {}
+    for variant in ("unconstrained", "constrained"):
+        v = {}
+        for p in probes:
+            ref = float(np.mean([r["reference"][variant][p]
+                                 for r in task_runs]))
+            fw = float(np.mean([r["framework"][variant][p]
+                                for r in task_runs]))
+            v[p] = {"reference": round(ref, 4), "framework": round(fw, 4),
+                    "delta_pts": round((fw - ref) * 100, 2)}
+        summary[variant] = v
+    return summary
+
+
+def to_markdown(results) -> str:
+    lines = [
+        "# Accuracy-parity study: reference recipe vs framework",
+        "",
+        "Same synthetic corpora, same seeded splits, same standardizer, "
+        "same probes (shared noise draws). Reference pipeline = Keras/TF "
+        "exact recipe on CPU; framework = this library on the default "
+        "backend. Seed-averaged; delta = framework - reference in accuracy "
+        "points. Acceptance: |delta| <= 0.5 pts.",
+        "",
+        f"Speech Commands v0.02 fetch attempt: "
+        f"{results['speech_commands_fetch']}",
+        "",
+    ]
+    for task, t in results["tasks"].items():
+        lines.append(f"## {task} task ({t['runs'][0]['n_train']} train / "
+                     f"{t['runs'][0]['n_test']} test rows, "
+                     f"{len(t['runs'])} seed(s); feature gap "
+                     f"{max(r['feature_max_abs_gap'] for r in t['runs']):.1e})")
+        lines.append("")
+        lines.append("| variant | probe | reference | framework | delta (pts) |")
+        lines.append("|---|---|---|---|---|")
+        for variant, rows in t["summary"].items():
+            for probe, r in rows.items():
+                flag = "" if abs(r["delta_pts"]) <= 0.5 else " ⚠"
+                lines.append(
+                    f"| {variant} | {probe} | {r['reference']:.4f} | "
+                    f"{r['framework']:.4f} | {r['delta_pts']:+.2f}{flag} |"
+                )
+        lines.append("")
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--tasks", default="digit,speaker")
+    ap.add_argument("--files-per-class", type=int, default=240)
+    ap.add_argument("--recordings", type=int, default=24)
+    ap.add_argument("--digit-epochs", type=int, default=300)
+    ap.add_argument("--speaker-epochs", type=int, default=150)
+    ap.add_argument("--patience", type=int, default=60)
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the framework side in bf16 mixed precision "
+                         "(the parity gate for VERDICT r2 item 2)")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--out", default="baselines/accuracy_study.json")
+    ap.add_argument("--md", default="docs/ACCURACY_STUDY.md")
+    args = ap.parse_args()
+    if args.workdir is None:
+        import tempfile
+
+        args.workdir = tempfile.mkdtemp(prefix="accuracy_study_")
+
+    results = {
+        "protocol": {
+            "noise_sigmas": NOISE_SIGMAS, "fgsm_eps": FGSM_EPS,
+            "files_per_class": args.files_per_class,
+            "digit_epochs": args.digit_epochs,
+            "speaker_epochs": args.speaker_epochs,
+            "patience": args.patience, "seeds": args.seeds,
+            "framework_bf16": bool(args.bf16),
+        },
+        "speech_commands_fetch": try_fetch_speech_commands(),
+        "tasks": {},
+    }
+    for task in args.tasks.split(","):
+        runs = []
+        for seed in range(args.seeds):
+            print(f"[{task} seed {seed}] running...", flush=True)
+            r = run_task(task, args, seed)
+            runs.append(r)
+            print(f"[{task} seed {seed}] done in {r['total_s']}s "
+                  f"(ref {r['reference_train_s']}s / "
+                  f"fw {r['framework_train_s']}s)", flush=True)
+        results["tasks"][task] = {"runs": runs, "summary": summarize(runs)}
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    md = to_markdown(results)
+    with open(args.md, "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -168,51 +168,58 @@ def measure_tpu(quick: bool = False) -> dict:
     speaker_utts_per_s = b_mfcc / t_speaker
 
     # Stage 2: constrained training step (digit recipe: batch 512, NonNeg +
-    # simple_norm rho=0.1 in-step projection).
+    # simple_norm rho=0.1 in-step projection), in f32 and in bf16 mixed
+    # precision (f32 master weights; parity-gated by TestBF16Parity and the
+    # accuracy study — VERDICT r2 item 2).
     mcfg = MLPConfig.digit_constrained()
     bs = 512
     trainer_cfg = TrainConfig(batch_size=bs)
     con = make_simple_norm_constraint(0.1, n_iter=4)
-    params, state = init_mlp(mcfg, jax.random.PRNGKey(0))
-    trainer = Trainer(mcfg, trainer_cfg, constraint=con.apply,
-                      constraint_state=con.init(params))
-    opt_state = trainer.optimizer.init(params)
-    cstate = con.init(params)
     x = jax.device_put(rng.standard_normal((bs, 880)).astype(np.float32))
     y = jax.device_put(rng.integers(0, 10, bs).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
     import jax as _jax
 
-    step = trainer.train_step
+    def measure_train_step(cfg):
+        params, state = init_mlp(cfg, jax.random.PRNGKey(0))
+        trainer = Trainer(cfg, trainer_cfg, constraint=con.apply,
+                          constraint_state=con.init(params))
+        opt_state = trainer.optimizer.init(params)
+        cstate = con.init(params)
+        step = trainer.train_step
 
-    @_jax.jit
-    def train_chain(params, state, opt_state, cstate, x):
-        def body(i, carry):
-            params, state, opt_state, cstate, x = carry
-            k = _jax.random.fold_in(key, i)
-            params, state, opt_state, cstate, loss, acc = step(
-                params, state, opt_state, cstate, x, y, k
+        @_jax.jit
+        def train_chain(params, state, opt_state, cstate, x):
+            def body(i, carry):
+                params, state, opt_state, cstate, x = carry
+                k = _jax.random.fold_in(key, i)
+                params, state, opt_state, cstate, loss, acc = step(
+                    params, state, opt_state, cstate, x, y, k
+                )
+                return (params, state, opt_state, cstate, x + 1e-20 * loss)
+
+            out = _jax.lax.fori_loop(
+                0, n_iter_train, body, (params, state, opt_state, cstate, x)
             )
-            return (params, state, opt_state, cstate, x + 1e-20 * loss)
+            # 4-float probe over every updated tensor, computed in-graph so
+            # the host fetch moves 16 bytes, not a weight matrix
+            probe = sum(jnp.sum(l).astype(jnp.float32)
+                        for l in _jax.tree.leaves((out[0], out[1])))
+            return out[0], out[1], jnp.ravel(out[4])[:4] + probe
 
-        out = _jax.lax.fori_loop(
-            0, n_iter_train, body, (params, state, opt_state, cstate, x)
-        )
-        # 4-float probe over every updated tensor, computed in-graph so the
-        # host fetch moves 16 bytes, not a weight matrix
-        probe = sum(jnp.sum(l).astype(jnp.float32)
-                    for l in _jax.tree.leaves((out[0], out[1])))
-        return out[0], out[1], jnp.ravel(out[4])[:4] + probe
+        p2, s2, pr = train_chain(params, state, opt_state, cstate, x)
+        float(np.asarray(pr)[0])
+        x_t = x + 0.5  # fresh buffer (axon memoizes identical executions)
+        t0 = time.perf_counter()
+        _, _, pr = train_chain(params, state, opt_state, cstate, x_t)
+        float(np.asarray(pr)[0])  # 16-byte host fetch forces completion
+        t = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iter_train
+        return t, trainer, p2, s2
 
-    p2, s2, pr = train_chain(params, state, opt_state, cstate, x)
-    float(np.asarray(pr)[0])
-    params2, state2 = p2, s2
-    x_t = x + 0.5  # fresh buffer (axon memoizes identical executions)
-    t0 = time.perf_counter()
-    _, _, pr = train_chain(params, state, opt_state, cstate, x_t)
-    float(np.asarray(pr)[0])  # 16-byte host fetch forces completion
-    t_train = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iter_train
+    t_train_f32, trainer, params2, state2 = measure_train_step(mcfg)
+    t_train_bf16, _, _, _ = measure_train_step(mcfg.with_bf16())
+    t_train = min(t_train_f32, t_train_bf16)
     train_utts_per_s = bs / t_train
 
     # Stage 2b: fused device-resident epoch at reference scale (the whole
@@ -223,25 +230,31 @@ def measure_tpu(quick: bool = False) -> dict:
     n_true = 4096 if quick else 16566  # reference digit train-split rows
     n_epochs_chain = 4 if quick else 8
     n_pad = ((n_true + bs - 1) // bs) * bs
-    ep_fn = build_epoch_fn(mcfg, trainer.optimizer, constraint=con.apply,
-                           batch_size=bs, epochs_per_call=n_epochs_chain)
     data = jax.device_put(
         rng.standard_normal((n_pad, 880)).astype(np.float32))
     lab = jax.device_put(
         np.resize(rng.integers(0, 10, n_true).astype(np.int32), n_pad))
     pk, dk = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
 
-    def fresh_trees(seed):
-        p, s = init_mlp(mcfg, jax.random.PRNGKey(seed))
-        return p, s, trainer.optimizer.init(p), con.init(p)
+    def measure_epoch(cfg):
+        ep_fn = build_epoch_fn(cfg, trainer.optimizer, constraint=con.apply,
+                               batch_size=bs, epochs_per_call=n_epochs_chain)
 
-    out = ep_fn(*fresh_trees(10), data, lab, pk, dk, n_true=n_true)
-    float(np.asarray(out[4]))  # compile + settle
-    trees = fresh_trees(11)  # fresh buffers: axon memoizes identical runs
-    t0 = time.perf_counter()
-    out = ep_fn(*trees, data, lab, pk, dk, n_true=n_true)
-    float(np.asarray(out[4]))
-    t_epoch = max(time.perf_counter() - t0 - rtt, 1e-9) / n_epochs_chain
+        def fresh_trees(seed):
+            p, s = init_mlp(cfg, jax.random.PRNGKey(seed))
+            return p, s, trainer.optimizer.init(p), con.init(p)
+
+        out = ep_fn(*fresh_trees(10), data, lab, pk, dk, n_true=n_true)
+        float(np.asarray(out[4]))  # compile + settle
+        trees = fresh_trees(11)  # fresh buffers: axon memoizes identical
+        t0 = time.perf_counter()
+        out = ep_fn(*trees, data, lab, pk, dk, n_true=n_true)
+        float(np.asarray(out[4]))
+        return max(time.perf_counter() - t0 - rtt, 1e-9) / n_epochs_chain
+
+    t_epoch_f32 = measure_epoch(mcfg)
+    t_epoch_bf16 = measure_epoch(mcfg.with_bf16())
+    t_epoch = min(t_epoch_f32, t_epoch_bf16)
 
     # Stage 3: FGSM adversarial eval (generate adversarial batch + predict).
     def logits_fn(xx):
@@ -258,20 +271,30 @@ def measure_tpu(quick: bool = False) -> dict:
     # FGSM-evaluated.
     per_utt = t_mfcc / b_mfcc + t_train / bs + t_fgsm / bs
 
-    # MFU: analytic GEMM FLOPs over measured wall time vs the chip's bf16
-    # MXU peak (VERDICT r1 "what's weak" 3 / next-round 10).
+    # MFU: analytic GEMM FLOPs over measured wall time vs the chip's MXU
+    # peak at the precision the kernel actually runs (VERDICT r1 "what's
+    # weak" 3 / next-round 10). The int8 rDFT executes on the MXU's int8
+    # path at 2x the bf16 rate, so its utilization is judged against the
+    # int8 peak — dividing int8 throughput by the bf16 peak would overstate
+    # MFU (ADVICE r2).
     peak = _PEAK_BF16.get(jax.devices()[0].device_kind)
+    mfcc_backend = ("pallas" if t_mfcc == t_pallas
+                    else "int8" if t_mfcc == t_int8 else "xla")
     fe_flops = frontend_flops_per_utt(cfg) * mfcc_utts_per_s
     sp_flops = frontend_flops_per_utt(scfg) * speaker_utts_per_s
     tr_flops = train_step_flops_per_utt(mcfg) * train_utts_per_s
     ep_flops = train_step_flops_per_utt(mcfg) * n_true / t_epoch
+    fe_peak_scale = 2.0 if "int8" in mfcc_backend else 1.0
     return {
         "mfcc_utts_per_s": mfcc_utts_per_s,
-        "mfcc_backend": ("pallas" if t_mfcc == t_pallas
-                         else "int8" if t_mfcc == t_int8 else "xla"),
+        "mfcc_backend": mfcc_backend,
         "mfcc_speaker_utts_per_s": speaker_utts_per_s,
         "train_utts_per_s": train_utts_per_s,
+        "train_utts_per_s_f32": bs / t_train_f32,
+        "train_utts_per_s_bf16": bs / t_train_bf16,
         "fused_epoch_ms": t_epoch * 1e3,
+        "fused_epoch_ms_f32": t_epoch_f32 * 1e3,
+        "fused_epoch_ms_bf16": t_epoch_bf16 * 1e3,
         "fused_epoch_rows": n_true,
         "fgsm_utts_per_s": fgsm_utts_per_s,
         "pipeline_utts_per_s": 1.0 / per_utt,
@@ -281,13 +304,14 @@ def measure_tpu(quick: bool = False) -> dict:
             "train_step": tr_flops,
             "fused_epoch": ep_flops,
         },
-        "mfu_vs_bf16_peak": (
+        "mfu_vs_peak": (
             {
-                "frontend_digit": fe_flops / peak,
+                "frontend_digit": fe_flops / (peak * fe_peak_scale),
+                "frontend_digit_peak": peak * fe_peak_scale,
                 "frontend_speaker": sp_flops / peak,
                 "train_step": tr_flops / peak,
                 "fused_epoch": ep_flops / peak,
-                "peak_flops_assumed": peak,
+                "peak_flops_bf16": peak,
                 "device_kind": jax.devices()[0].device_kind,
             }
             if peak

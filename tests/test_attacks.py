@@ -356,3 +356,199 @@ class TestSnrPaddingParity:
             lengths=np.array([true, true]), backend="xla",
         )
         assert np.isfinite(feats).all()
+
+
+class TestJSMATopK:
+    """Top-k pair selection (VERDICT r2 item 6): no (n,n) saliency matrix."""
+
+    def test_topk_exact_vs_small_k(self, trained):
+        """With 2k >= n_feat the candidate set is ALL features — the top-k
+        path IS the dense search. A smaller k must still produce an attack
+        at least as constrained (same budget/search semantics) and, on this
+        well-separated task, the identical adversarial output."""
+        cfg, params, state, logits_fn, predict, x, y = trained
+        xs = jnp.asarray(x[:8])
+        kw = dict(theta=1.0, gamma=0.2, key=jax.random.PRNGKey(0))
+        full = np.asarray(whitebox.jsma(logits_fn, xs,
+                                        k_candidates=x.shape[1], **kw))
+        small = np.asarray(whitebox.jsma(logits_fn, xs, k_candidates=6, **kw))
+        # k=6 of 24 features: the Pareto ends still contain the optimal
+        # pairs here; identical trajectories
+        np.testing.assert_allclose(small, full, atol=1e-6)
+
+    def test_speaker_dim_jsma_runs(self, rng):
+        """2020-dim features (the speaker task): the pair matrix would be
+        4.1M entries/sample-iteration; the top-k path runs it in 256x256.
+        Uses an untrained model — this is a memory/shape gate, the potency
+        oracle runs on the trained fixture above."""
+        cfg = MLPConfig(in_dim=2020, n_classes=20, hidden=(32, 16),
+                        dropout=(0.0, 0.0))
+        params, state = init_mlp(cfg, jax.random.PRNGKey(0))
+
+        def logits_fn(xx):
+            return apply_mlp(cfg, params, state, xx, train=False)[0]
+
+        xs = jnp.asarray(rng.standard_normal((2, 2020)).astype(np.float32))
+        adv = whitebox.jsma(logits_fn, xs, theta=2.0, gamma=0.005,
+                            key=jax.random.PRNGKey(0), max_iter=6)
+        delta = np.asarray(adv) - np.asarray(xs)
+        assert (np.abs(delta) > 1e-9).any()  # it moved something
+        assert (delta >= -1e-9).all()
+
+
+class TestARTLineSearch:
+    """ART-schedule C&W optimizer (VERDICT r2 item 5): the adaptive-lr line
+    search must follow ART's published trajectory semantics."""
+
+    @staticmethod
+    def _quad(target):
+        # per-sample objective (w - target)^2 summed over features
+        return lambda w: jnp.sum((w - target) ** 2, axis=-1)
+
+    def test_halving_picks_first_improving_lr(self):
+        # start at w=1, minimum at 0, direction -1 (toward it); lr=4 and
+        # lr*2^k overshoot for every doubling; halving walks 4,2,1 ->
+        # first improving candidate is lr=1 exactly onto the minimum? no:
+        # w + lr*dir = 1-4=-3 (worse), 1-2=-1 (equal, not <), 1-1=0 improve
+        target = jnp.zeros((1, 1))
+        obj = self._quad(target)
+        w = jnp.ones((1, 1))
+        lr = jnp.full((1,), 4.0)
+        d = -jnp.ones((1, 1))
+        w2, lr2 = whitebox._art_line_search_step(
+            obj, w, lr, obj(w), d, max_halving=5, max_doubling=5)
+        assert float(w2[0, 0]) == 0.0  # first improving halved lr (1.0)
+        assert float(lr2[0]) == 1.0    # accepted lr persists
+
+    def test_doubling_chains_while_improving(self):
+        # start at 8, minimum 0, lr=1: candidates 8-1=7, 8-2=6, 8-4=4,
+        # 8-8=0, 8-16=-8 (worse than 0) -> chain stops at lr=8
+        target = jnp.zeros((1, 1))
+        obj = self._quad(target)
+        w = jnp.full((1, 1), 8.0)
+        lr = jnp.ones((1,))
+        d = -jnp.ones((1, 1))
+        w2, lr2 = whitebox._art_line_search_step(
+            obj, w, lr, obj(w), d, max_halving=5, max_doubling=5)
+        assert float(w2[0, 0]) == 0.0
+        assert float(lr2[0]) == 8.0
+
+    def test_total_failure_keeps_position_and_collapses_lr(self):
+        # direction AWAY from the minimum: every candidate is worse
+        target = jnp.zeros((1, 1))
+        obj = self._quad(target)
+        w = jnp.ones((1, 1))
+        lr = jnp.ones((1,))
+        d = jnp.ones((1, 1))  # uphill
+        w2, lr2 = whitebox._art_line_search_step(
+            obj, w, lr, obj(w), d, max_halving=5, max_doubling=5)
+        assert float(w2[0, 0]) == 1.0          # no move
+        assert float(lr2[0]) == 1.0 / 2 ** 5   # fully halved for next iter
+
+    def test_per_sample_independence(self):
+        # sample 0 improves, sample 1 cannot: decisions are per-sample
+        target = jnp.zeros((2, 1))
+        obj = self._quad(target)
+        w = jnp.ones((2, 1))
+        lr = jnp.ones((2,))
+        d = jnp.asarray([[-1.0], [1.0]])
+        w2, _ = whitebox._art_line_search_step(
+            obj, w, lr, obj(w), d, max_halving=5, max_doubling=5)
+        assert float(w2[0, 0]) == 0.0
+        assert float(w2[1, 0]) == 1.0
+
+    def test_cw_l2_art_mode_succeeds(self, trained):
+        cfg, params, state, logits_fn, predict, x, y = trained
+        xs, ys = jnp.asarray(x[:24]), jnp.asarray(y[:24])
+        adv = np.asarray(whitebox.carlini_l2(
+            logits_fn, xs, ys, optimizer="art",
+            binary_search_steps=6, max_iter=10))
+        success = np.argmax(predict(adv), -1) != y[:24]
+        assert success.mean() >= 0.7, f"art-mode success {success.mean():.2f}"
+
+    def test_cw_sweep_compiles_once(self, trained):
+        """A confidence sweep must reuse ONE executable (retrace count 1
+        per sweep — VERDICT r2 item 5): confidence is traced, not static."""
+        cfg, params, state, logits_fn, predict, x, y = trained
+        xs, ys = jnp.asarray(x[:4]), jnp.asarray(y[:4])
+        before = whitebox.carlini_l2._cache_size()
+        for conf in [0.0, 1.0, 2.0]:
+            whitebox.carlini_l2(logits_fn, xs, ys, confidence=conf,
+                                binary_search_steps=2, max_iter=2)
+        added = whitebox.carlini_l2._cache_size() - before
+        assert added == 1, f"retraced {added}x for a 3-point sweep"
+
+
+class TestFusedAudioSweep:
+    """fused_audio_sweep (VERDICT r2 item 7): one jitted noise->MFCC->
+    standardize->predict program must reproduce the unfused pipeline."""
+
+    def test_matches_unfused_pipeline(self, rng):
+        from asr_using_robust_nn_tpu.attacks.sweeps import (
+            blackbox_sweep, fused_audio_sweep)
+        from asr_using_robust_nn_tpu.data.pipeline import standardize_fit_all
+        from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig
+
+        fe_cfg = FrontendConfig.digit()
+        n = 12
+        waves = (rng.standard_normal((n, 22050)) * 0.1).astype(np.float32)
+        lengths = np.full((n,), 22050, np.int64)
+        lengths[:3] = 15000  # exercise the masked-tail path
+        for i in range(3):
+            waves[i, 15000:] = 0.0
+        labels = rng.integers(0, 4, n).astype(np.int64)
+        cfg = MLPConfig(in_dim=880, n_classes=4, hidden=(16,),
+                        dropout=(0.0,))
+        params, state = init_mlp(cfg, jax.random.PRNGKey(0))
+
+        def logits(xx):
+            return apply_mlp(cfg, params, state, jnp.asarray(xx, jnp.float32),
+                             train=False)[0]
+
+        def predict(xx):
+            return np.asarray(jax.nn.softmax(logits(xx), -1))
+
+        tr = rng.standard_normal((40, 880)).astype(np.float32)
+        dv = rng.standard_normal((10, 880)).astype(np.float32)
+
+        def std(feats):
+            _, _, out, _, _ = standardize_fit_all(tr, dv, feats)
+            return out
+
+        strengths = [0.0, 0.02, 0.05]
+        unfused = blackbox_sweep(
+            "white_audio", predict, predict, labels, strengths=strengths,
+            test_waves=waves, lengths=lengths, frontend_cfg=fe_cfg,
+            standardize=std, seed=7, backend="xla",
+        )
+        fused = fused_audio_sweep(
+            "white_audio", logits, logits, labels, test_waves=waves,
+            lengths=lengths, frontend_cfg=fe_cfg, strengths=strengths,
+            refit_arrays=(tr, dv), seed=7, backend="xla",
+        )
+        np.testing.assert_allclose(fused.accuracy_constrained,
+                                   unfused.accuracy_constrained, atol=1e-6)
+        np.testing.assert_allclose(fused.accuracy_unconstrained,
+                                   unfused.accuracy_unconstrained, atol=1e-6)
+
+    def test_snr_and_mixture_kinds_run(self, rng):
+        from asr_using_robust_nn_tpu.attacks.sweeps import fused_audio_sweep
+        from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig
+
+        fe_cfg = FrontendConfig.digit()
+        waves = (rng.standard_normal((4, 22050)) * 0.1).astype(np.float32)
+        labels = rng.integers(0, 4, 4).astype(np.int64)
+        cfg = MLPConfig(in_dim=880, n_classes=4, hidden=(16,), dropout=(0.0,))
+        params, state = init_mlp(cfg, jax.random.PRNGKey(0))
+
+        def logits(xx):
+            return apply_mlp(cfg, params, state, jnp.asarray(xx, jnp.float32),
+                             train=False)[0]
+
+        for kind, grid in [("snr_audio", [30.0, 5.0]),
+                           ("mixture_audio", [0.0, 0.01])]:
+            res = fused_audio_sweep(
+                kind, logits, logits, labels, test_waves=waves,
+                frontend_cfg=fe_cfg, strengths=grid, seed=0, backend="xla",
+            )
+            assert np.isfinite(res.accuracy_constrained).all()
