@@ -12,9 +12,18 @@ cache/DCE-proof, 1024 utterances, parity vs the f64 oracle in parens):
                          pallas-int8 fused         13.0 ms (4.4e-4)
                          xla precision=HIGHEST     13.5 ms (4.5e-4)
                          pallas f32 HIGHEST        19.6 ms (4.5e-4)
-    speaker (n_fft=441): xla precision=HIGHEST      3.0-4.1 ms       <- auto
+    speaker (n_fft=441): xla bf16_x6 DFT            3.0 ms (4.7e-4)  <- auto
+                         xla bf16_x3 DFT            2.2 ms (2.4e-3)
+                           (speaker_fast() preset — opt-in parity trade)
+                         xla precision=HIGHEST      3.2-4.1 ms (4.7e-4)
                          pallas-int8 fused          4.2 ms
                          int8 digit-decomposition   4.6 ms
+                         pallas bf16x3 fused        4.7 ms (1.6e-3)
+
+Speaker stage budget (v5e, B=1024, X6): framing 0.83 ms (pure data
+movement — the hop=220/width=441 overlap concat), DFT+power ~2.1 ms,
+mel+log+DCT ~0.6 ms. The preset is movement+emulation-bound, not
+MXU-bound; bf16_x3 halves the DFT passes and is the practical fast mode.
 
 The int8 path (ops/mfcc_int8.py) runs the rDFT as six exact int8 digit
 products fused into three int8 MXU matmuls — the v5e MXU's 2x
@@ -34,7 +43,11 @@ import numpy as np
 
 from ..ops.mfcc_int8 import mfcc_int8_batch
 from ..ops.mfcc_xla import FrontendConfig, mfcc_xla_batch
-from ..ops.pallas_mfcc import mfcc_pallas_batch, mfcc_pallas_int8_batch
+from ..ops.pallas_mfcc import (
+    mfcc_pallas_batch,
+    mfcc_pallas_bf16x3_batch,
+    mfcc_pallas_int8_batch,
+)
 
 __all__ = ["Frontend"]
 
@@ -63,6 +76,7 @@ class Frontend:
         "int8": mfcc_int8_batch,
         "pallas": mfcc_pallas_batch,
         "pallas_int8": mfcc_pallas_int8_batch,
+        "pallas_bf16x3": mfcc_pallas_bf16x3_batch,
     }
 
     def __init__(self, cfg: FrontendConfig, backend: str = "auto"):

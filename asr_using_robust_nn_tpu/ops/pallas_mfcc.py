@@ -39,6 +39,8 @@ __all__ = [
     "mfcc_pallas_batch",
     "mel_power_int8_pallas",
     "mfcc_pallas_int8_batch",
+    "mel_power_bf16x3_pallas",
+    "mfcc_pallas_bf16x3_batch",
 ]
 
 
@@ -151,6 +153,152 @@ def mel_power_pallas(
         interpret=interpret,
     )(f2d, cr_p, ci_p, mel_tp)
     return mel[:rows].reshape(b, n_frames, n_mels)
+
+
+def _bf16x3_split(x):
+    """f32 -> (hi, lo) bf16 digits with x ~= hi + lo; three bf16 products
+    hi@hi' + hi@lo' + lo@hi' reproduce the f32 product to ~2^-16 relative —
+    the BF16_BF16_F32_X3 algorithm, hand-rolled so the MXU runs native bf16
+    passes instead of Mosaic's multi-pass f32 emulation."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dft_power_mel_x3_kernel(
+    frames_ref, cr_hi_ref, cr_lo_ref, ci_hi_ref, ci_lo_ref,
+    melt_hi_ref, melt_lo_ref, out_ref,
+):
+    """Fused rDFT -> |.|^2 -> mel with every GEMM as a 3-pass bf16 split:
+    6 bf16 MXU dots for the two DFT sides + 3 for the mel projection per
+    program, power spectrogram VMEM-resident (never touches HBM)."""
+    j = pl.program_id(1)
+    f_hi, f_lo = _bf16x3_split(frames_ref[:])
+
+    def x3(a_hi, a_lo, b_hi_ref, b_lo_ref):
+        def d(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        return (d(a_hi, b_hi_ref[:]) + d(a_hi, b_lo_ref[:])
+                + d(a_lo, b_hi_ref[:]))
+
+    re = x3(f_hi, f_lo, cr_hi_ref, cr_lo_ref)
+    im = x3(f_hi, f_lo, ci_hi_ref, ci_lo_ref)
+    power = re * re + im * im
+    p_hi, p_lo = _bf16x3_split(power)
+    mel = x3(p_hi, p_lo, melt_hi_ref, melt_lo_ref)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = mel
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + mel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "row_tile", "k_tile", "interpret")
+)
+def mel_power_bf16x3_pallas(
+    waves: jnp.ndarray,
+    cfg: FrontendConfig,
+    row_tile: int = 256,
+    k_tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused bf16x3 rDFT+power+mel: (B, L) raw waves -> (B, T, n_mels).
+
+    Built for the speaker preset (odd n_fft=441, no radix-2 split, no int8
+    win): the X3 dot-algorithm trick hand-rolled as native bf16 MXU dots,
+    plus VMEM fusion keeping the (rows, n_freq) power spectrogram out of
+    HBM. Parity ~1.6e-3 vs the f64 oracle (X3-class). MEASURED v5e,
+    B=1024: 4.7 ms — Mosaic's schedule still loses to XLA's einsum at the
+    same algorithm (2.2 ms, `FrontendConfig.speaker_fast()`), so this stays
+    an opt-in fusion template like the other Pallas variants
+    (frontend/mfcc.py decision table)."""
+    b, n_samples = waves.shape
+    n_frames = cfg.num_frames(n_samples)
+
+    cr, ci, mel_t, _ = cfg.constants(np.float32)
+    n_fft_pad = _round_up(cfg.n_fft, 128)  # bf16 lane alignment
+    n_freq_pad = _round_up(cfg.n_freq, k_tile)
+    n_mels = cfg.n_mels
+
+    def split_pad(c, rows, cols, r, k):
+        p = np.zeros((rows, cols), np.float32)
+        p[:r, :k] = c
+        pj = jnp.asarray(p)  # numpy has no bfloat16; split via jnp
+        hi = pj.astype(jnp.bfloat16)
+        lo = (pj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    cr_hi, cr_lo = split_pad(cr, n_fft_pad, n_freq_pad, cfg.n_fft, cfg.n_freq)
+    ci_hi, ci_lo = split_pad(ci, n_fft_pad, n_freq_pad, cfg.n_fft, cfg.n_freq)
+    mel_hi, mel_lo = split_pad(mel_t, n_freq_pad, n_mels, cfg.n_freq, n_mels)
+
+    pad = cfg.n_fft // 2
+    ypad = jnp.pad(waves.astype(jnp.float32), ((0, 0), (pad, pad)),
+                   mode=cfg.pad_mode)
+    frames = frame_signal(ypad, n_frames, cfg.n_fft, cfg.hop_length)
+    rows = b * n_frames
+    rows_pad = _round_up(rows, row_tile)
+    f2d = frames.reshape(rows, cfg.n_fft)
+    f2d = jnp.pad(f2d, ((0, rows_pad - rows), (0, n_fft_pad - cfg.n_fft)))
+
+    grid = (rows_pad // row_tile, n_freq_pad // k_tile)
+    c_spec = pl.BlockSpec((n_fft_pad, k_tile), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((k_tile, n_mels), lambda i, j: (j, 0),
+                          memory_space=pltpu.VMEM)
+    mel = pl.pallas_call(
+        _dft_power_mel_x3_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((row_tile, n_fft_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            c_spec, c_spec, c_spec, c_spec, m_spec, m_spec,
+        ],
+        out_specs=pl.BlockSpec((row_tile, n_mels), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, n_mels), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows_pad * n_fft_pad * n_freq_pad * 6
+            + 2 * rows_pad * n_freq_pad * n_mels * 3,
+            bytes_accessed=(rows_pad * n_fft_pad * 4
+                            + rows_pad * n_mels * 4)
+            + (4 * n_fft_pad * n_freq_pad + 2 * n_freq_pad * n_mels)
+            * 2 * grid[0],
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(f2d, cr_hi, cr_lo, ci_hi, ci_lo, mel_hi, mel_lo)
+    return mel[:rows].reshape(b, n_frames, n_mels)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "row_tile", "k_tile", "interpret")
+)
+def mfcc_pallas_bf16x3_batch(
+    waves: jnp.ndarray,
+    cfg: FrontendConfig,
+    lengths: jnp.ndarray | None = None,
+    row_tile: int = 256,
+    k_tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full MFCC via the fused bf16x3 Pallas kernel + shared XLA db/DCT
+    finish. Same contract as ops.mfcc_xla.mfcc_xla_batch."""
+    b, n_samples = waves.shape
+    n_frames = cfg.num_frames(n_samples)
+    mel = mel_power_bf16x3_pallas(
+        waves, cfg, row_tile=row_tile, k_tile=k_tile, interpret=interpret
+    )
+    _, _, _, dct_t = cfg.constants(np.float32)
+    prec = jax.lax.Precision(cfg.precision.lower())
+    return finish_mfcc_from_mel(
+        mel, cfg, lengths, b, n_frames, jnp.asarray(dct_t), prec
+    )
 
 
 def _int8_dft_power_mel_kernel(

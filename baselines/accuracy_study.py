@@ -206,12 +206,21 @@ def run_reference_pipeline(task, feats, epochs, patience, rho, seed):
                                    restore_best_weights=True)]
         if variant == "constrained":
             callbacks.append(KerasSimpleNormConstraint(rho))
-        model.fit(
-            tr.astype(np.float32), ytr,
-            validation_data=(dv.astype(np.float32), ydv),
-            batch_size=batch[variant], epochs=epochs, verbose=0,
-            shuffle=True, callbacks=callbacks,
+        # reference-exact input pipeline: tf.data shuffle with
+        # reshuffle_each_iteration=False — the SAME batch order every epoch
+        # (`VD/train_google_dataset.py:35-40`); plain fit(shuffle=True)
+        # would reshuffle per epoch, a different training process than the
+        # reference's (and than the framework's default)
+        ds = tf.data.Dataset.from_tensor_slices(
+            (tr.astype(np.float32), ytr)
+        ).shuffle(len(tr), seed=seed, reshuffle_each_iteration=False).batch(
+            batch[variant]
         )
+        vds = tf.data.Dataset.from_tensor_slices(
+            (dv.astype(np.float32), ydv)
+        ).batch(batch[variant])
+        model.fit(ds, validation_data=vds, epochs=epochs, verbose=0,
+                  callbacks=callbacks)
 
         def make_eval(model):
             def predict(x):
@@ -268,9 +277,12 @@ def run_framework_pipeline(task, feats, epochs, patience, rho, seed,
             con = make_simple_norm_constraint(rho)
             p0, _ = init_mlp(cfg, jax.random.PRNGKey(seed))
             constraint, cstate = con.apply, con.init(p0)
+        # epochs_per_dispatch=1: early stopping / best-val tracking at the
+        # SAME per-epoch granularity as the Keras side (8-epoch fusing
+        # coarsens the protocol and is a perf knob, not a parity one)
         tcfg = TrainConfig(batch_size=batch[variant], epochs=epochs,
                            patience=patience, seed=seed,
-                           device_resident=True, epochs_per_dispatch=8)
+                           device_resident=True, epochs_per_dispatch=1)
         trainer = Trainer(cfg, tcfg, constraint=constraint,
                           constraint_state=cstate)
         res = trainer.fit(tr.astype(np.float32), ltr,
@@ -344,9 +356,14 @@ def run_task(task, args, seed):
     t0 = time.time()
     root = os.path.join(args.workdir, f"{task}_s{seed}")
     if task == "digit":
+        # knobs chosen for the mid-difficulty regime (clean ~85-95%): at
+        # ceiling both pipelines trivially agree; at chance the deltas are
+        # training noise — neither regime can support a parity claim
         corpus = hc.make_hard_corpus(
             root, files_per_class=args.files_per_class, seed=seed,
-            sr=22050, shortcut_amp=0.012,
+            sr=22050, f1_gap=args.f1_gap, f1_jitter=args.f1_jitter,
+            f2_gap=args.f2_gap, f2_jitter=args.f2_jitter,
+            noise_floor=args.noise_floor, shortcut_amp=args.shortcut_amp,
         )
         cfg = FrontendConfig.digit()
         class_names = DIGIT_WORDS
@@ -485,6 +502,12 @@ def main():
     ap.add_argument("--digit-epochs", type=int, default=300)
     ap.add_argument("--speaker-epochs", type=int, default=150)
     ap.add_argument("--patience", type=int, default=60)
+    ap.add_argument("--f1-gap", type=float, default=45.0)
+    ap.add_argument("--f1-jitter", type=float, default=12.0)
+    ap.add_argument("--f2-gap", type=float, default=80.0)
+    ap.add_argument("--f2-jitter", type=float, default=20.0)
+    ap.add_argument("--noise-floor", type=float, default=0.12)
+    ap.add_argument("--shortcut-amp", type=float, default=0.008)
     ap.add_argument("--bf16", action="store_true",
                     help="run the framework side in bf16 mixed precision "
                          "(the parity gate for VERDICT r2 item 2)")

@@ -338,3 +338,35 @@ class TestFrontendProperties:
         lhs = resample(x + 2 * y, 16000, 22050)
         rhs = resample(x, 16000, 22050) + 2 * resample(y, 16000, 22050)
         np.testing.assert_allclose(lhs, rhs, atol=1e-4)
+
+
+class TestBF16X3PallasFused:
+    """ops/pallas_mfcc.py::mfcc_pallas_bf16x3_batch (interpret mode pins
+    the kernel math; the Mosaic path needs a real TPU). X3-class parity:
+    ~2e-3 absolute on dB-scale features."""
+
+    @pytest.mark.parametrize("cfg", [DIGIT, SPEAKER], ids=["digit", "speaker"])
+    def test_matches_oracle(self, cfg, rng):
+        from asr_using_robust_nn_tpu.ops.pallas_mfcc import (
+            mfcc_pallas_bf16x3_batch)
+
+        amps = np.array([0.05, 0.3, 1.0])[:, None]
+        waves = (rng.standard_normal((3, 22050)) * amps).astype(np.float32)
+        got = np.asarray(mfcc_pallas_bf16x3_batch(waves, cfg, interpret=True))
+        for i in range(3):
+            want = frontend_ref.mfcc_fixed_length_ref(
+                waves[i], cfg.utterance_length, sr=cfg.sr, n_fft=cfg.n_fft,
+                hop_length=cfg.hop_length, win_length=cfg.win_length,
+            )
+            np.testing.assert_allclose(got[i], want, atol=8e-3, rtol=1e-3)
+
+    def test_split_reconstructs(self, rng):
+        """hi + lo bf16 digits reconstruct f32 to ~2^-16 relative."""
+        import jax.numpy as jnp
+
+        x = (rng.standard_normal((64,)) * 10).astype(np.float32)
+        xj = jnp.asarray(x)
+        hi = xj.astype(jnp.bfloat16)
+        lo = (xj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rec = np.asarray(hi.astype(jnp.float32) + lo.astype(jnp.float32))
+        np.testing.assert_allclose(rec, x, rtol=2e-5)
