@@ -260,7 +260,6 @@ def fused_audio_sweep(
         # branch selection is static per kind, so pass the traced scalar
         # only when the noise path is active
         if attack in ("white_audio", "mixture_audio") and float(s) == 0.0:
-            kind_kw = "clean"
             ac, au = point("clean", d_waves, d_lengths, d_labels, k,
                            jnp.float32(0.0), d_tr, d_dv)
         else:

@@ -20,9 +20,11 @@ Parity notes:
    labels are given — pass `targets` or a `key` for the same behavior.
  - carlini_l2 implements the Carlini&Wagner L2 formulation (tanh
    reparameterization + binary search over c) with ART's default budgets
-   (binary_search_steps=10, max_iter=10, lr=0.01, initial_const=0.01);
-   ART's bespoke lr-halving schedule is replaced by Adam (documented
-   divergence — the attack is optimization-based, not bit-reproducible).
+   (binary_search_steps=10, max_iter=10, lr=0.01, initial_const=0.01).
+   optimizer="art" (the DEFAULT) follows ART's bespoke per-sample
+   lr-halving/doubling line search, evaluated as a batched candidate
+   ladder (docs/PARITY.md); optimizer="adam" keeps the round-2 Adam
+   variant as the documented-divergence alternative.
  - carlini_linf follows the C&W L-inf variant with a shrinking tau bound.
 """
 
@@ -81,6 +83,39 @@ def pgd(
     return jax.lax.fori_loop(0, max_iter, body, x)
 
 
+def _jsma_select_pair(alpha, beta, search, k_cand):
+    """-> (p, q, any_valid): argmax of the Papernot pair saliency
+    S(p,q) = -(a_p+a_q)*(b_p+b_q) over valid pairs (a_sum>0, b_sum<0,
+    p != q, both in `search`) — EXACT over all pairs when k_cand is None,
+    else a heuristic over the union of top-k-by-alpha and
+    top-k-by-(-beta) candidates (covers the ends of the (alpha, -beta)
+    Pareto front, may miss pairs strictly in its interior)."""
+    n_feat = alpha.shape[0]
+    if k_cand is None:
+        cand = jnp.arange(n_feat)
+    else:
+        a_m = jnp.where(search, alpha, -jnp.inf)
+        c_m = jnp.where(search, -beta, -jnp.inf)
+        _, ia = jax.lax.top_k(a_m, k_cand)
+        _, ic = jax.lax.top_k(c_m, k_cand)
+        cand = jnp.concatenate([ia, ic])  # (2k,) may repeat; masked below
+    ac, bc, sc = alpha[cand], beta[cand], search[cand]
+    a_pair = ac[:, None] + ac[None, :]
+    b_pair = bc[:, None] + bc[None, :]
+    valid = (
+        (a_pair > 0)
+        & (b_pair < 0)
+        & sc[:, None]
+        & sc[None, :]
+        & (cand[:, None] != cand[None, :])
+    )
+    score = jnp.where(valid, -a_pair * b_pair, -jnp.inf)
+    m = cand.shape[0]
+    flat = jnp.argmax(score)
+    any_valid = jnp.isfinite(score.reshape(-1)[flat])
+    return cand[flat // m], cand[flat % m], any_valid
+
+
 def jsma(
     logits_fn,
     x,
@@ -90,7 +125,7 @@ def jsma(
     key=None,
     clip=None,
     max_iter: int | None = None,
-    k_candidates: int = 128,
+    k_candidates: int | None = None,
 ) -> jnp.ndarray:
     """Jacobian Saliency Map Attack with feature pairs (SaliencyMapMethod,
     theta=10, gamma=0.1 at `attacks.py:546`). Targeted; `targets=None` draws
@@ -107,17 +142,20 @@ def jsma(
     cycling pair can't spin forever; ART has no such cap but terminates in
     practice for the same reason this cap is rarely hit.
 
-    Pair selection never materializes the (n_feat, n_feat) saliency matrix
-    when n_feat > 2*k_candidates (VERDICT r2 item 6): the pair objective
-    (a_p+a_q)*(-(b_p+b_q)) is monotone in each endpoint's (alpha, -beta), so
-    any optimal pair can be chosen with both endpoints Pareto-optimal in
-    that plane; the union of top-k by alpha and top-k by -beta covers the
-    front's both ends, and the 2k x 2k candidate product is searched
-    exactly. Exact whenever 2*k_candidates >= n_feat (the dense matrix is
-    never needed); for larger n it is exact unless the optimal pair's
-    endpoints BOTH fall outside BOTH top-k sets (a >2k-point Pareto front
-    with the max in its middle — pathological). The 2020-dim speaker task
-    drops from a 4.1M-entry matrix per sample-iteration to 256x256.
+    Pair selection: `k_candidates=None` (default) keeps the EXACT dense
+    argmax over all feature pairs whenever n_feat <= 1024 — the digit task
+    (880 dims) retains the pre-round-3 exact ART-parity semantics — and
+    switches to a top-k candidate search for larger n (VERDICT r2 item 6:
+    the 2020-dim speaker task would need a 4.1M-entry matrix per
+    sample-iteration; top-k searches a 256x256 product instead). The
+    heuristic rests on the pair objective (a_p+a_q)*(-(b_p+b_q)) being
+    monotone in each endpoint's (alpha, -beta): any optimal pair can be
+    chosen with both endpoints Pareto-optimal in that plane, and the union
+    of top-k by alpha and top-k by -beta covers both ENDS of that front. It
+    is a heuristic, not exact: an optimal (or sole valid) pair whose
+    endpoints sit strictly in the front's interior, beyond both top-k sets,
+    is missed — the attack may then pick a weaker pair or stop early. Pass
+    an explicit k_candidates >= n_feat to force exactness at any dim.
     """
     n_feat = x.shape[-1]
     logits0 = logits_fn(x)
@@ -131,31 +169,13 @@ def jsma(
     budget = max(2, int(gamma * n_feat))
     if max_iter is None:
         max_iter = max(2 * budget, 8)
-    k_cand = min(k_candidates, n_feat)
+    if k_candidates is None:
+        k_cand = None if n_feat <= 1024 else 128  # None -> exact dense
+    else:
+        k_cand = None if k_candidates >= n_feat else k_candidates
 
     def select_pair(alpha, beta, search):
-        """-> (p, q, any_valid): argmax of the Papernot pair saliency over
-        the top-k candidate set (exact for 2k >= n_feat)."""
-        a_m = jnp.where(search, alpha, -jnp.inf)
-        c_m = jnp.where(search, -beta, -jnp.inf)
-        _, ia = jax.lax.top_k(a_m, k_cand)
-        _, ic = jax.lax.top_k(c_m, k_cand)
-        cand = jnp.concatenate([ia, ic])  # (2k,) may repeat; masked below
-        ac, bc, sc = alpha[cand], beta[cand], search[cand]
-        a_pair = ac[:, None] + ac[None, :]
-        b_pair = bc[:, None] + bc[None, :]
-        valid = (
-            (a_pair > 0)
-            & (b_pair < 0)
-            & sc[:, None]
-            & sc[None, :]
-            & (cand[:, None] != cand[None, :])
-        )
-        score = jnp.where(valid, -a_pair * b_pair, -jnp.inf)
-        m = cand.shape[0]
-        flat = jnp.argmax(score)
-        any_valid = jnp.isfinite(score.reshape(-1)[flat])
-        return cand[flat // m], cand[flat % m], any_valid
+        return _jsma_select_pair(alpha, beta, search, k_cand)
 
     def single(x0, t):
         def logits_single(xx):
@@ -322,8 +342,6 @@ def carlini_l2(
         f = _cw_objective(logits_fn(xa), y, confidence, targeted=False)
         return l2 + c * f
 
-    opt = optax.adam(learning_rate)
-
     def attack_at_c(c):
         """(B,) per-sample constants -> (best_x, success) after max_iter."""
 
@@ -336,6 +354,7 @@ def carlini_l2(
                     jnp.where(better, l2, best_l2))
 
         if optimizer == "adam":
+            opt = optax.adam(learning_rate)
 
             def body(carry, _):
                 w, opt_state, best_x, best_l2 = carry
@@ -353,9 +372,13 @@ def carlini_l2(
 
             def body(carry, _):
                 w, lr, best_x, best_l2 = carry
-                g = jax.grad(lambda ww: jnp.sum(obj_per(ww, c)))(w)
+                # one forward for BOTH the per-sample losses and (via the
+                # pullback with an all-ones cotangent — obj_per is
+                # row-separable) the per-sample gradients
+                loss_now, pull = jax.vjp(lambda ww: obj_per(ww, c), w)
+                (g,) = pull(jnp.ones_like(loss_now))
                 w, lr = _art_line_search_step(
-                    lambda ww: obj_per(ww, c), w, lr, obj_per(w, c), -g,
+                    lambda ww: obj_per(ww, c), w, lr, loss_now, -g,
                     max_halving, max_doubling,
                 )
                 best_x, best_l2 = track(w, best_x, best_l2)
@@ -434,12 +457,11 @@ def carlini_linf(
         excess = jnp.maximum(jnp.abs(d) - tau, 0.0).sum(-1)
         return const * f + excess
 
-    opt = optax.adam(learning_rate)
-
     def tau_body(carry, _):
         delta, tau, best, best_linf, found = carry
 
         if optimizer == "adam":
+            opt = optax.adam(learning_rate)
 
             def body(inner, _):
                 d, opt_state = inner
@@ -454,9 +476,12 @@ def carlini_linf(
 
             def body(inner, _):
                 d, lr = inner
-                g = jax.grad(lambda dd: jnp.sum(obj_per(dd, tau)))(d)
+                # per-sample losses + gradients in one forward (row-
+                # separable objective, all-ones cotangent pullback)
+                loss_now, pull = jax.vjp(lambda dd: obj_per(dd, tau), d)
+                (g,) = pull(jnp.ones_like(loss_now))
                 d, lr = _art_line_search_step(
-                    lambda dd: obj_per(dd, tau), d, lr, obj_per(d, tau), -g,
+                    lambda dd: obj_per(dd, tau), d, lr, loss_now, -g,
                     max_halving, max_doubling,
                 )
                 return (d, lr), None

@@ -37,6 +37,7 @@ kernels the same way — XLA reduces partial products over 'model'.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -188,6 +189,19 @@ class TensorParallelTrainer(Trainer):
     # trainer's unsharded init_mlp/numpy-batch path).
     def _init_train_state(self, key):
         return self.make_train_state(key)
+
+    def _adopt_train_state(self, params, state):
+        # warm-start fit(params=..., state=...): copy (the steps donate
+        # their inputs; device_put can alias already-identically-sharded
+        # arrays) and re-place with the TP shardings
+        params = jax.tree.map(jnp.array, params)
+        state = jax.tree.map(jnp.array, state)
+        params, state = shard_mlp(self.mesh, params, state)
+        opt_state = jax.jit(self.optimizer.init)(params)
+        cstate = self.constraint_state
+        if cstate is not None:
+            cstate = jax.device_put(cstate, NamedSharding(self.mesh, P()))
+        return params, state, opt_state, cstate
 
     def _place_batch(self, x, y):
         n_data = self.mesh.shape[DATA_AXIS]

@@ -134,6 +134,18 @@ class Trainer:
         cstate = jax.tree.map(jnp.array, self.constraint_state)
         return params, state, opt_state, cstate
 
+    def _adopt_train_state(self, params, state):
+        """Warm-start path of fit(): defensively copy caller-owned trees
+        (the jitted steps donate their inputs — a second fit() would
+        otherwise hit deleted arrays) and build fresh optimizer/constraint
+        state. Subclasses that place buffers on a mesh override this so a
+        warm-started fit() trains with their shardings too."""
+        params = jax.tree.map(jnp.array, params)
+        state = jax.tree.map(jnp.array, state)
+        opt_state = self.optimizer.init(params)
+        cstate = jax.tree.map(jnp.array, self.constraint_state)
+        return params, state, opt_state, cstate
+
     def _place_batch(self, x, y):
         """Hook for subclasses to shard host batches before a step; the base
         trainer lets jit stream numpy to the default device."""
@@ -196,12 +208,9 @@ class Trainer:
             key, k0 = jax.random.split(key)
             params, state, opt_state, cstate = self._init_train_state(k0)
         else:
-            # the jitted steps donate their inputs; never donate buffers the
-            # caller still owns (a second fit() would hit deleted arrays)
-            params = jax.tree.map(jnp.array, params)
-            state = jax.tree.map(jnp.array, state)
-            opt_state = self.optimizer.init(params)
-            cstate = jax.tree.map(jnp.array, self.constraint_state)
+            params, state, opt_state, cstate = self._adopt_train_state(
+                params, state
+            )
 
         train_x = np.asarray(train_x, dtype=np.float32)
         train_y = np.asarray(train_y, dtype=np.int32)

@@ -317,9 +317,11 @@ def measure_tpu(quick: bool = False) -> dict:
         "mfcc_speaker_backend": speaker_backend,
         "mfcc_speaker_utts_per_s_default": b_mfcc / t_speaker,
         "train_utts_per_s": train_utts_per_s,
+        "train_precision": "bf16" if t_train == t_train_bf16 else "f32",
         "train_utts_per_s_f32": bs / t_train_f32,
         "train_utts_per_s_bf16": bs / t_train_bf16,
         "fused_epoch_ms": t_epoch * 1e3,
+        "fused_epoch_precision": "bf16" if t_epoch == t_epoch_bf16 else "f32",
         "fused_epoch_ms_f32": t_epoch_f32 * 1e3,
         "fused_epoch_ms_bf16": t_epoch_bf16 * 1e3,
         "fused_epoch_rows": n_true,

@@ -362,10 +362,10 @@ class TestJSMATopK:
     """Top-k pair selection (VERDICT r2 item 6): no (n,n) saliency matrix."""
 
     def test_topk_exact_vs_small_k(self, trained):
-        """With 2k >= n_feat the candidate set is ALL features — the top-k
-        path IS the dense search. A smaller k must still produce an attack
-        at least as constrained (same budget/search semantics) and, on this
-        well-separated task, the identical adversarial output."""
+        """k_candidates >= n_feat routes to the exact dense search. A
+        smaller k must still produce an attack under the same budget/search
+        semantics and, on this well-separated task, the identical
+        adversarial output (the Pareto ends contain the optimal pairs)."""
         cfg, params, state, logits_fn, predict, x, y = trained
         xs = jnp.asarray(x[:8])
         kw = dict(theta=1.0, gamma=0.2, key=jax.random.PRNGKey(0))
@@ -375,6 +375,34 @@ class TestJSMATopK:
         # k=6 of 24 features: the Pareto ends still contain the optimal
         # pairs here; identical trajectories
         np.testing.assert_allclose(small, full, atol=1e-6)
+
+    def test_default_exact_at_digit_dims(self):
+        """Regression (round-3 review): the DEFAULT selection must be the
+        exact dense search for n_feat <= 1024 — the 880-dim digit task's
+        ART-parity semantics may not silently degrade to the top-k
+        heuristic. Exercised through the private selector on a landscape
+        where the heuristic provably fails (below)."""
+        n, k = 200, 4
+        alpha = np.full(n, -1.0, np.float32)
+        beta = np.full(n, 1.0, np.float32)
+        # the ONLY valid pair sits strictly inside the (alpha, -beta)
+        # Pareto front: top-k by alpha and top-k by -beta both miss it
+        alpha[:k] = np.linspace(50.0, 40.0, k)      # big alpha, bad beta
+        beta[:k] = np.linspace(100.0, 90.0, k)
+        alpha[k : 2 * k] = np.linspace(-90.0, -100.0, k)  # bad alpha,
+        beta[k : 2 * k] = np.linspace(-40.0, -50.0, k)    # very neg beta
+        alpha[100], beta[100] = 1.0, -1.0           # the valid middle pair
+        alpha[101], beta[101] = 1.0, -1.0
+        search = jnp.ones((n,), bool)
+        # dense (the <=1024-dim default) finds it
+        p, q, ok = whitebox._jsma_select_pair(
+            jnp.asarray(alpha), jnp.asarray(beta), search, None)
+        assert bool(ok) and {int(p), int(q)} == {100, 101}
+        # the top-k heuristic misses it — documents WHY dense must stay
+        # the default at digit dims
+        _, _, ok_topk = whitebox._jsma_select_pair(
+            jnp.asarray(alpha), jnp.asarray(beta), search, k)
+        assert not bool(ok_topk)
 
     def test_speaker_dim_jsma_runs(self, rng):
         """2020-dim features (the speaker task): the pair matrix would be

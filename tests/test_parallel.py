@@ -305,6 +305,34 @@ class TestTensorParallelFit:
         np.testing.assert_allclose(
             res["history"]["loss"], s_res["history"]["loss"], rtol=1e-4)
 
+    def test_fit_warm_start_trains_sharded(self, rng):
+        """Round-3 review: fit(params=..., state=...) previously fell into
+        the base trainer's else-branch and trained UNSHARDED despite the
+        mesh — _adopt_train_state must re-place caller trees with the TP
+        shardings (and copy them: the jitted step donates its inputs)."""
+        from asr_using_robust_nn_tpu.parallel import (
+            TensorParallelTrainer, tp_mesh,
+        )
+
+        x, y = task(rng, n=256)
+        c = cfg()
+        tp = TensorParallelTrainer(
+            c, tp_mesh(4, 2), TrainConfig(batch_size=64, epochs=2,
+                                          patience=100, seed=0),
+        )
+        res = tp.fit(x[:192], y[:192], x[192:], y[192:])
+        P = jax.sharding.PartitionSpec
+        p_a, _, _, _ = tp._adopt_train_state(res["params"], res["state"])
+        assert p_a["layers"][0]["w"].sharding.spec == P(None, "model")
+        res2 = tp.fit(x[:192], y[:192], x[192:], y[192:],
+                      params=res["params"], state=res["state"])
+        w0 = res2["params"]["layers"][0]["w"]
+        assert w0.sharding.spec == P(None, "model"), w0.sharding
+        assert np.isfinite(res2["history"]["loss"]).all()
+        # the caller's trees survived both adoptions (defensive copies)
+        assert np.isfinite(
+            np.asarray(res["params"]["layers"][0]["w"])).all()
+
     def test_fit_ragged_final_batch(self, rng):
         """A train split not divisible by the data-axis size must still fit
         (the ragged tail is replicated, not sharded)."""
