@@ -148,10 +148,18 @@ def export_h5(path, params: dict, state: dict | None = None) -> None:
 def import_keras_h5(path, cfg) -> tuple[dict, dict]:
     """Load a Keras-saved (or export_h5-saved) weights file into our pytree.
 
-    Walks `model_weights`, collecting Dense layers (kernel/bias) in creation
-    order and BatchNormalization layers likewise — the order Keras assigns
-    default names (dense, dense_1, ...) in the reference's sequential-style
-    builders (`Voice digit recogniton/train_google_dataset.py:49-74`).
+    Handles both HDF5 layouts Keras has used:
+    - TF2 legacy (`model_weights/<layer>/<layer>/kernel:0`, or the same
+      without the `model_weights` wrapper) — the layout the reference's
+      `.h5` artifacts use (`Voice digit recogniton/attacks.py:315-317`);
+    - Keras 3 `.weights.h5` (`layers/<layer>/vars/<idx>`, positional:
+      Dense 0=kernel 1=bias, BatchNormalization 0=gamma 1=beta
+      2=moving_mean 3=moving_variance — the layer's `.weights` order).
+
+    Dense layers are collected in creation order (the default names
+    dense, dense_1, ... of the reference's sequential-style builders,
+    `Voice digit recogniton/train_google_dataset.py:49-74`), likewise
+    BatchNormalization.
     """
     import h5py
 
@@ -163,12 +171,27 @@ def import_keras_h5(path, cfg) -> tuple[dict, dict]:
             return int(parts[1])
         return 0
 
+    _K3_DENSE = {"0": "kernel", "1": "bias"}
+    _K3_BN = {"0": "gamma", "1": "beta", "2": "moving_mean",
+              "3": "moving_variance"}
+
     with h5py.File(path, "r") as f:
         mw = f["model_weights"] if "model_weights" in f else f
         dense, bn = {}, {}
         def visit(name, obj):
             if isinstance(obj, h5py.Dataset):
                 parts = name.split("/")
+                if parts[0] == "layers" and len(parts) >= 4 and (
+                        parts[-2] == "vars"):
+                    # Keras 3 .weights.h5: layers/<lname>/vars/<idx>
+                    lname, idx = parts[1], parts[-1]
+                    if lname.startswith("dense") and idx in _K3_DENSE:
+                        dense.setdefault(lname, {})[
+                            _K3_DENSE[idx]] = np.array(obj)
+                    elif lname.startswith("batch_normalization") and (
+                            idx in _K3_BN):
+                        bn.setdefault(lname, {})[_K3_BN[idx]] = np.array(obj)
+                    return
                 lname = parts[0]
                 dname = parts[-1].split(":")[0]
                 if lname.startswith("dense"):

@@ -212,6 +212,7 @@ def run_reference_pipeline(task, feats, epochs, patience, rho, seed):
     ytr = np.eye(n_classes, dtype=np.float32)[ltr]
     ydv = np.eye(n_classes, dtype=np.float32)[ldv]
     out = {}
+    weight_paths = {}
     for variant in ("unconstrained", "constrained"):
         model = build_keras_model(task, variant, seed)
         # the reference's exact protocol: ModelCheckpoint(save_best_only)
@@ -247,6 +248,13 @@ def run_reference_pipeline(task, feats, epochs, patience, rho, seed):
                   callbacks=callbacks)
         if os.path.exists(best_path):
             model.load_weights(best_path)
+        # persist the evaluated (best-val) weights for the same-weights
+        # cross-probe: the framework imports this exact checkpoint and
+        # must reproduce these accuracies with its own forward/attack stack
+        final_path = os.path.join(os.path.dirname(best_path),
+                                  f"{variant}.final.weights.h5")
+        model.save_weights(final_path)
+        weight_paths[variant] = final_path
 
         def make_eval(model):
             def predict(x):
@@ -266,6 +274,59 @@ def run_reference_pipeline(task, feats, epochs, patience, rho, seed):
             return predict, fgsm
 
         out[variant] = make_eval(model)
+    return out, weight_paths
+
+
+def run_cross_probe(task, weight_paths):
+    """Same-weights cross-probe: import the reference-recipe-trained Keras
+    checkpoints into the framework (`train.checkpoints.import_keras_h5`)
+    and build eval closures over the FRAMEWORK forward/attack stack.
+
+    Evaluated on the reference pipeline's features with the shared noise
+    draws, any cross-vs-reference delta isolates the eval/attack stack at
+    IDENTICAL weights — separating implementation parity from the
+    training-trajectory variance that dominates white-box probes at
+    cliff-eps (independently trained nets differ by several points there
+    regardless of framework)."""
+    import jax
+
+    from asr_using_robust_nn_tpu.models.mlp import MLPConfig, apply_mlp
+    from asr_using_robust_nn_tpu.train.checkpoints import import_keras_h5
+
+    cfgs = {
+        "unconstrained": (MLPConfig.digit_unconstrained() if task == "digit"
+                          else MLPConfig.speaker_unconstrained()),
+        "constrained": (MLPConfig.digit_constrained() if task == "digit"
+                        else MLPConfig.speaker_constrained()),
+    }
+    out = {}
+    for variant, cfg in cfgs.items():
+        params, state = import_keras_h5(weight_paths[variant], cfg)
+
+        def make_eval(cfg, params, state):
+            import jax.numpy as jnp
+
+            from asr_using_robust_nn_tpu.attacks import whitebox
+
+            def logits_fn(xx):
+                return apply_mlp(cfg, params, state, xx, train=False)[0]
+
+            def predict(x):
+                probs = []
+                for i in range(0, len(x), 2048):
+                    probs.append(np.asarray(jax.nn.softmax(
+                        logits_fn(jnp.asarray(x[i:i + 2048], jnp.float32)),
+                        -1)))
+                return np.concatenate(probs, 0)
+
+            def fgsm(x, y, eps):
+                return np.asarray(whitebox.fgsm(
+                    logits_fn, jnp.asarray(x, jnp.float32),
+                    jnp.asarray(y, jnp.int32), eps))
+
+            return predict, fgsm
+
+        out[variant] = make_eval(cfg, params, state)
     return out
 
 
@@ -445,8 +506,8 @@ def run_task(task, args, seed):
                    for s in NOISE_SIGMAS}
 
     t_ref0 = time.time()
-    ref_models = run_reference_pipeline(task, ref_feats, epochs, patience,
-                                        rho, seed)
+    ref_models, ref_wpaths = run_reference_pipeline(
+        task, ref_feats, epochs, patience, rho, seed)
     ref_rows = evaluate_models(ref_models, ref_feats[4], ref_feats[5],
                                noise_draws)
     t_ref = time.time() - t_ref0
@@ -456,6 +517,11 @@ def run_task(task, args, seed):
     fw_rows = evaluate_models(fw_models, fw_feats[4], fw_feats[5],
                               noise_draws)
     t_fw = time.time() - t_fw0
+    # same-weights cross-probe: framework stack over the reference's own
+    # trained weights and features — isolates eval/attack-stack parity
+    cross_models = run_cross_probe(task, ref_wpaths)
+    cross_rows = evaluate_models(cross_models, ref_feats[4], ref_feats[5],
+                                 noise_draws)
     return {
         "seed": seed,
         "n_train": int(len(ref_feats[0])),
@@ -463,6 +529,7 @@ def run_task(task, args, seed):
         "feature_max_abs_gap": feat_gap,
         "reference": ref_rows,
         "framework": fw_rows,
+        "cross": cross_rows,
         "reference_train_s": round(t_ref, 1),
         "framework_train_s": round(t_fw, 1),
         "total_s": round(time.time() - t0, 1),
@@ -485,6 +552,15 @@ def summarize(task_runs):
                     "framework": round(float(fws.mean()), 4),
                     "delta_pts": round(float(deltas.mean()), 2),
                     "delta_stderr_pts": round(stderr, 2)}
+            if "cross" in task_runs[0]:
+                crosses = np.array([r["cross"][variant][p]
+                                    for r in task_runs])
+                cdeltas = (crosses - refs) * 100
+                cse = (float(np.std(cdeltas, ddof=1) / np.sqrt(n))
+                       if n > 1 else 0.0)
+                v[p]["cross"] = round(float(crosses.mean()), 4)
+                v[p]["cross_delta_pts"] = round(float(cdeltas.mean()), 2)
+                v[p]["cross_delta_stderr_pts"] = round(cse, 2)
         summary[variant] = v
     return summary
 
@@ -526,6 +602,29 @@ def to_markdown(results) -> str:
                     f"± {se:.2f}{flag} |"
                 )
         lines.append("")
+        if "cross" in t["runs"][0]:
+            lines.append(
+                "Same-weights cross-probe: the reference-trained Keras "
+                "checkpoints imported into the framework "
+                "(`import_keras_h5`) and probed with the FRAMEWORK "
+                "forward/attack stack on the reference's features — any "
+                "delta here isolates the eval/attack implementation at "
+                "identical weights (training variance excluded).")
+            lines.append("")
+            lines.append("| variant | probe | keras stack | framework "
+                         "stack (same weights) | delta (pts) ± stderr |")
+            lines.append("|---|---|---|---|---|")
+            for variant, rows in t["summary"].items():
+                for probe, r in rows.items():
+                    cse = r.get("cross_delta_stderr_pts", 0.0)
+                    cd = r["cross_delta_pts"]
+                    ok = abs(cd) <= max(0.5, 2 * cse)
+                    flag = "" if ok else " ⚠"
+                    lines.append(
+                        f"| {variant} | {probe} | {r['reference']:.4f} | "
+                        f"{r['cross']:.4f} | {cd:+.2f} ± {cse:.2f}{flag} |"
+                    )
+            lines.append("")
     return "\n".join(lines)
 
 

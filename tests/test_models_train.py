@@ -320,6 +320,41 @@ class TestTrainer:
         got = np.asarray(predict_probs(cfg, p2, s2, x))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    @pytest.mark.filterwarnings("ignore")
+    def test_import_keras3_weights_h5(self, tmp_path, rng):
+        """Import the Keras 3 `.weights.h5` layout (layers/<name>/vars/<idx>)
+        written by the TF baked into this image — the path the accuracy
+        study's same-weights cross-probe uses to load reference-recipe-
+        trained Keras checkpoints into the framework. Forward must match
+        the live Keras model."""
+        tf = pytest.importorskip("tensorflow")
+        from tensorflow.keras.layers import (
+            BatchNormalization,
+            Dense,
+            Dropout,
+            Input,
+        )
+        from tensorflow.keras.models import Model
+
+        inp = Input((16,))
+        h = Dense(32, activation="relu")(inp)
+        h = BatchNormalization()(h)
+        h = Dropout(0.4)(h)
+        h = Dense(16, activation="relu")(h)
+        h = BatchNormalization()(h)
+        h = Dropout(0.4)(h)
+        out = Dense(4, activation="softmax")(h)
+        km = Model(inp, out)
+        path = str(tmp_path / "k3.weights.h5")
+        km.save_weights(path)
+
+        cfg = small_cfg(dropout=(0.4, 0.4))
+        p2, s2 = import_keras_h5(path, cfg)
+        x = rng.standard_normal((8, 16)).astype(np.float32)
+        want = km(x, training=False).numpy()
+        got = np.asarray(predict_probs(cfg, p2, s2, x))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_import_wrong_variant_rejected(self, tmp_path):
         """A checkpoint whose shapes don't match the config must fail at
         load with a readable message, not at first forward."""
