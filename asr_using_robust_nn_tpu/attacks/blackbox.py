@@ -167,10 +167,8 @@ def audio_noise_features(
     """
     from ..frontend.mfcc import Frontend
 
-    sig = sigma if sigma != 0.0 else None
-    al = alpha if (p != 0.0 and alpha != 0.0) else None
-    noisy = noisy_waves(waves, key, sigma=sig if sig is not None else 0.0,
-                        p=p, alpha=al if al is not None else 0.0,
+    noisy = noisy_waves(waves, key, sigma=sigma, p=p,
+                        alpha=alpha if p != 0.0 else 0.0,
                         snr_db=snr_db, lengths=lengths)
     fe = Frontend(cfg, backend=backend)
     return np.asarray(fe.flat(noisy, lengths=lengths))

@@ -221,13 +221,25 @@ def fused_audio_sweep(
     d_labels = jax.device_put(np.asarray(labels, np.int32))
     d_lengths = (jax.device_put(np.asarray(lengths, np.int64))
                  if lengths is not None else None)
-    d_tr = d_dv = None
+    n1, d_mu1, d_m21 = 0, None, None
     if refit:
-        d_tr = jax.device_put(np.asarray(refit_arrays[0], np.float32))
-        d_dv = jax.device_put(np.asarray(refit_arrays[1], np.float32))
+        # The train+dev contribution to the per-point scaler refit is
+        # constant across sweep points — reduce it to sufficient statistics
+        # ONCE (count, mean, sum of squared deviations) instead of
+        # re-concatenating and re-reducing the full matrices inside every
+        # point's executable; per point only the perturbed test batch's
+        # moments are computed and combined (Chan's parallel update).
+        def block_stats(a):
+            mu = jnp.mean(a, axis=0)
+            return mu, jnp.sum(jnp.square(a - mu), axis=0)
+
+        td = np.concatenate([np.asarray(refit_arrays[0], np.float32),
+                             np.asarray(refit_arrays[1], np.float32)], 0)
+        n1 = td.shape[0]
+        d_mu1, d_m21 = jax.jit(block_stats)(jax.device_put(td))
 
     @functools.partial(jax.jit, static_argnames=("kind",))
-    def point(kind, waves, lens, labs, key, strength, tr, dv):
+    def point(kind, waves, lens, labs, key, strength, mu1, m21):
         kw = {"white_audio": dict(sigma=strength),
               "mixture_audio": dict(p=mixture_p, alpha=strength),
               "snr_audio": dict(snr_db=strength),
@@ -236,12 +248,17 @@ def fused_audio_sweep(
         feats = mfcc_fn(noisy, frontend_cfg, lengths=lens)
         feats = feats.reshape(feats.shape[0], -1)
         if refit:
-            # sklearn StandardScaler semantics on the concatenation
+            # sklearn StandardScaler semantics on [train; dev; feats]
             # (ddof=0; constant features keep scale 1) — data/pipeline.py
-            # standardize_fit_all, now in-graph
-            allf = jnp.concatenate([tr, dv, feats], axis=0)
-            mu = jnp.mean(allf, axis=0)
-            sd = jnp.std(allf, axis=0)
+            # standardize_fit_all, in-graph via the precomputed moments
+            n2 = feats.shape[0]
+            n = n1 + n2
+            mu2 = jnp.mean(feats, axis=0)
+            m22 = jnp.sum(jnp.square(feats - mu2), axis=0)
+            delta = mu2 - mu1
+            mu = mu1 + delta * (n2 / n)
+            m2 = m21 + m22 + jnp.square(delta) * (n1 * n2 / n)
+            sd = jnp.sqrt(m2 / n)
             sd = jnp.where(sd == 0.0, 1.0, sd)
             feats = (feats - mu) / sd
         acc_c = jnp.mean(
@@ -261,10 +278,10 @@ def fused_audio_sweep(
         # only when the noise path is active
         if attack in ("white_audio", "mixture_audio") and float(s) == 0.0:
             ac, au = point("clean", d_waves, d_lengths, d_labels, k,
-                           jnp.float32(0.0), d_tr, d_dv)
+                           jnp.float32(0.0), d_mu1, d_m21)
         else:
             ac, au = point(attack, d_waves, d_lengths, d_labels, k,
-                           jnp.float32(s), d_tr, d_dv)
+                           jnp.float32(s), d_mu1, d_m21)
         acc_c.append(float(ac))
         acc_u.append(float(au))
     return SweepResult(attack, np.asarray(strengths), np.asarray(acc_c),

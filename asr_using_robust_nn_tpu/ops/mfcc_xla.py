@@ -141,6 +141,14 @@ class FrontendConfig:
     # FLOPs at identical accuracy (exact f32 butterflies); needs
     # 2^(levels+1) | n_fft and 2^levels | hop, so 0 for the speaker preset
 
+    def __post_init__(self):
+        if self.dft_algorithm is not None and (
+                self.dft_algorithm not in _DFT_ALGORITHMS):
+            raise ValueError(
+                f"dft_algorithm={self.dft_algorithm!r}: expected one of "
+                f"{sorted(_DFT_ALGORITHMS)} or None"
+            )
+
     @staticmethod
     def digit() -> "FrontendConfig":
         return FrontendConfig()
@@ -190,6 +198,9 @@ class FrontendConfig:
             mel_t.astype(dtype),
             dct_t.astype(dtype),
         )
+
+
+_DFT_ALGORITHMS = ("bf16_x6", "bf16_x3")
 
 
 def _dft_precision(cfg, default):

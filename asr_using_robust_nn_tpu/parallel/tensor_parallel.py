@@ -167,12 +167,18 @@ class TensorParallelTrainer(Trainer):
         # jit follows input shardings: Adam mu/nu come out sharded like the
         # params they mirror, count replicated
         opt_state = jax.jit(self.optimizer.init)(params)
+        return params, state, opt_state, self._place_cstate()
+
+    def _place_cstate(self):
+        """Replicate self.constraint_state on the mesh via a fresh copy —
+        device_put ALIASES an already-identically-sharded array, and the
+        donating train step would then delete the caller-owned buffer
+        (self.constraint_state itself on a warm restart)."""
         cstate = self.constraint_state
-        if cstate is not None:
-            cstate = jax.device_put(
-                cstate, NamedSharding(self.mesh, P())
-            )
-        return params, state, opt_state, cstate
+        if cstate is None:
+            return None
+        return jax.device_put(jax.tree.map(jnp.array, cstate),
+                              NamedSharding(self.mesh, P()))
 
     def place_batch(self, x, y):
         """Shard a host batch on the 'data' axis (replicated over 'model').
@@ -198,10 +204,7 @@ class TensorParallelTrainer(Trainer):
         state = jax.tree.map(jnp.array, state)
         params, state = shard_mlp(self.mesh, params, state)
         opt_state = jax.jit(self.optimizer.init)(params)
-        cstate = self.constraint_state
-        if cstate is not None:
-            cstate = jax.device_put(cstate, NamedSharding(self.mesh, P()))
-        return params, state, opt_state, cstate
+        return params, state, opt_state, self._place_cstate()
 
     def _place_batch(self, x, y):
         n_data = self.mesh.shape[DATA_AXIS]

@@ -271,6 +271,14 @@ class TestFrontendDispatcher:
         with pytest.raises(ValueError):
             Frontend(DIGIT, backend="cudnn")
 
+    def test_bad_dft_algorithm_rejected_eagerly(self):
+        """Round-3 review: a typo'd dft_algorithm must fail at config
+        construction with the valid options listed, not as a bare KeyError
+        inside the first jitted trace."""
+        with pytest.raises(ValueError, match="bf16_x6"):
+            FrontendConfig(n_fft=441, hop_length=220, win_length=441,
+                           utterance_length=101, dft_algorithm="bf16x6")
+
     def test_int8_matches_xla_at_parity(self, rng):
         from asr_using_robust_nn_tpu.frontend.mfcc import Frontend
 

@@ -348,3 +348,35 @@ class TestTensorParallelFit:
         )
         res = tp.fit(x[:150], y[:150], x[:32], y[:32])
         assert np.isfinite(res["history"]["loss"]).all()
+
+    def test_fit_survives_premesh_replicated_cstate(self, rng):
+        """Round-3 review: jax.device_put ALIASES an array whose sharding
+        already matches, and the donating train step then deletes the
+        caller-owned constraint_state — _place_cstate must copy first.
+        Two consecutive fits with a mesh-replicated cstate must both run
+        and leave self.constraint_state readable."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from asr_using_robust_nn_tpu.constraints import (
+            make_simple_norm_constraint,
+        )
+        from asr_using_robust_nn_tpu.parallel import (
+            TensorParallelTrainer, tp_mesh,
+        )
+
+        x, y = task(rng, n=256)
+        c = cfg(nonneg=True)
+        con = make_simple_norm_constraint(0.5, n_iter=8)
+        p0, _ = init_mlp(c, jax.random.PRNGKey(0))
+        mesh = tp_mesh(4, 2)
+        cstate = jax.device_put(con.init(p0), NamedSharding(mesh, P()))
+        tp = TensorParallelTrainer(
+            c, mesh, TrainConfig(batch_size=64, epochs=1, patience=100,
+                                 seed=0),
+            constraint=con.apply, constraint_state=cstate,
+        )
+        tp.fit(x[:192], y[:192], x[192:], y[192:])
+        tp.fit(x[:192], y[:192], x[192:], y[192:])
+        # the trainer's own cstate survived both donating runs
+        jax.tree.map(np.asarray, tp.constraint_state)
