@@ -41,6 +41,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..ops.mfcc_hopdft import (
+    hopdft_supported,
+    mfcc_hopdft_batch,
+    mfcc_hopdft_int8_batch,
+)
 from ..ops.mfcc_int8 import mfcc_int8_batch
 from ..ops.mfcc_xla import FrontendConfig, mfcc_xla_batch
 from ..ops.pallas_mfcc import (
@@ -74,6 +79,8 @@ class Frontend:
     _BACKENDS = {
         "xla": mfcc_xla_batch,
         "int8": mfcc_int8_batch,
+        "hopdft": mfcc_hopdft_batch,
+        "hopdft_int8": mfcc_hopdft_int8_batch,
         "pallas": mfcc_pallas_batch,
         "pallas_int8": mfcc_pallas_int8_batch,
         "pallas_bf16x3": mfcc_pallas_bf16x3_batch,
@@ -87,6 +94,12 @@ class Frontend:
         # by then the caller is about to run on a device anyway.
         if backend != "auto" and backend not in self._BACKENDS:
             raise ValueError(f"unknown frontend backend {backend!r}")
+        if backend.startswith("hopdft") and not hopdft_supported(cfg):
+            raise ValueError(
+                f"backend {backend!r} needs hop | n_fft and win == n_fft "
+                f"(got n_fft={cfg.n_fft} hop={cfg.hop_length} "
+                f"win={cfg.win_length}); use 'xla'/'int8'"
+            )
         self.cfg = cfg
         self._backend = backend
 

@@ -105,6 +105,20 @@ def frontend_flops_per_utt(cfg) -> float:
     return dft + mel + dct
 
 
+def frontend_hopdft_flops_per_utt(cfg) -> float:
+    """Executed MXU FLOPs for the hop-block rDFT (ops/mfcc_hopdft.py): the
+    DFT GEMM contracts hop (not n_fft) samples per block, over
+    F + n_fft/hop - 1 non-overlapping blocks — ~4x fewer FLOPs at the digit
+    preset. MFU must be judged against the FLOPs the kernel actually
+    executes, not the direct-DFT count (ADVICE r2 precedent)."""
+    f = cfg.num_frames(cfg.sr)
+    n_blocks = f + cfg.n_fft // cfg.hop_length - 1
+    dft = 2.0 * n_blocks * cfg.hop_length * cfg.n_freq * 2  # real + imag
+    mel = 2.0 * f * cfg.n_freq * cfg.n_mels
+    dct = 2.0 * f * cfg.n_mels * cfg.n_mfcc
+    return dft + mel + dct
+
+
 def train_step_flops_per_utt(mcfg) -> float:
     """Analytic matmul FLOPs for one example through one Adam train step:
     2*d_in*d_out per layer forward, 2x that for dW and 2x for dX on the
@@ -156,7 +170,15 @@ def measure_tpu(quick: bool = False) -> dict:
         t_pallas = None
     t_xla = _time_chain(lambda w: mfcc_xla_batch(w, cfg), waves, n_iter, rtt)
     t_int8 = _time_chain(lambda w: mfcc_int8_batch(w, cfg), waves, n_iter, rtt)
-    t_mfcc = min(t for t in (t_pallas, t_xla, t_int8) if t is not None)
+    from asr_using_robust_nn_tpu.ops.mfcc_hopdft import (
+        mfcc_hopdft_batch, mfcc_hopdft_int8_batch)
+
+    t_hop = _time_chain(
+        lambda w: mfcc_hopdft_batch(w, cfg), waves, n_iter, rtt)
+    t_hop8 = _time_chain(
+        lambda w: mfcc_hopdft_int8_batch(w, cfg), waves, n_iter, rtt)
+    t_mfcc = min(t for t in (t_pallas, t_xla, t_int8, t_hop, t_hop8)
+                 if t is not None)
     mfcc_utts_per_s = b_mfcc / t_mfcc
 
     # Stage 1b: speaker frontend preset (odd n_fft=441: no radix-2 split,
@@ -304,8 +326,12 @@ def measure_tpu(quick: bool = False) -> dict:
     # MFU (ADVICE r2).
     peak = _PEAK_BF16.get(jax.devices()[0].device_kind)
     mfcc_backend = ("pallas" if t_mfcc == t_pallas
+                    else "hopdft_int8" if t_mfcc == t_hop8
+                    else "hopdft" if t_mfcc == t_hop
                     else "int8" if t_mfcc == t_int8 else "xla")
-    fe_flops = frontend_flops_per_utt(cfg) * mfcc_utts_per_s
+    fe_flop_model = (frontend_hopdft_flops_per_utt
+                     if "hopdft" in mfcc_backend else frontend_flops_per_utt)
+    fe_flops = fe_flop_model(cfg) * mfcc_utts_per_s
     sp_flops = frontend_flops_per_utt(scfg) * speaker_utts_per_s
     tr_flops = train_step_flops_per_utt(mcfg) * train_utts_per_s
     ep_flops = train_step_flops_per_utt(mcfg) * n_true / t_epoch

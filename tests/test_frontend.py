@@ -231,6 +231,111 @@ class TestInt8Variant:
         np.testing.assert_allclose(got[0], want, atol=2e-3)
 
 
+class TestHopDftVariant:
+    """ops/mfcc_hopdft.py: hop-block rDFT exploiting the digit preset's
+    75% frame overlap (4x fewer DFT matmul FLOPs, no framing expansion)."""
+
+    def test_supported_presets(self):
+        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import hopdft_supported
+
+        assert hopdft_supported(DIGIT)          # 2048 % 512 == 0
+        assert not hopdft_supported(SPEAKER)    # 441 % 220 != 0
+
+    @pytest.mark.parametrize("variant", ["f32", "int8"])
+    def test_matches_oracle_with_amplitude_spread(self, variant, rng):
+        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import (
+            mfcc_hopdft_batch, mfcc_hopdft_int8_batch)
+
+        fn = mfcc_hopdft_batch if variant == "f32" else mfcc_hopdft_int8_batch
+        amps = np.array([0.02, 0.2, 1.0, 0.5])[:, None]
+        waves = (rng.standard_normal((4, 22050)) * amps).astype(np.float32)
+        got = np.asarray(fn(waves, DIGIT))
+        for i in range(4):
+            want = frontend_ref.mfcc_fixed_length_ref(
+                waves[i], DIGIT.utterance_length, sr=DIGIT.sr,
+                n_fft=DIGIT.n_fft, hop_length=DIGIT.hop_length,
+                win_length=DIGIT.win_length,
+            )
+            np.testing.assert_allclose(got[i], want, atol=1e-3, rtol=1e-4)
+
+    def test_honors_dft_algorithm(self, rng):
+        """The block matmul obeys cfg.dft_algorithm like the direct path:
+        bf16_x6 emulation keeps full parity with fewer MXU passes."""
+        import dataclasses
+
+        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import mfcc_hopdft_batch
+
+        cfg = dataclasses.replace(DIGIT, dft_algorithm="bf16_x6")
+        waves = (rng.standard_normal((2, 22050)) * 0.3).astype(np.float32)
+        got = np.asarray(mfcc_hopdft_batch(waves, cfg))
+        for i in range(2):
+            want = frontend_ref.mfcc_fixed_length_ref(
+                waves[i], cfg.utterance_length, sr=cfg.sr, n_fft=cfg.n_fft,
+                hop_length=cfg.hop_length, win_length=cfg.win_length,
+            )
+            np.testing.assert_allclose(got[i], want, atol=1e-3, rtol=1e-4)
+
+    def test_lengths_masking_matches_xla(self, rng):
+        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import (
+            mfcc_hopdft_batch, mfcc_hopdft_int8_batch)
+
+        waves = (rng.standard_normal((3, 22050)) * 0.1).astype(np.float32)
+        lengths = np.array([22050, 11025, 700])
+        for i, L in enumerate(lengths):
+            waves[i, L:] = 0
+        want = np.asarray(mfcc_xla_batch(waves, DIGIT, lengths=lengths))
+        for fn in (mfcc_hopdft_batch, mfcc_hopdft_int8_batch):
+            got = np.asarray(fn(waves, DIGIT, lengths=lengths))
+            np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_silent_input(self):
+        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import (
+            mfcc_hopdft_batch, mfcc_hopdft_int8_batch)
+
+        want = frontend_ref.mfcc_fixed_length_ref(np.zeros(22050), 44)
+        for fn in (mfcc_hopdft_batch, mfcc_hopdft_int8_batch):
+            got = np.asarray(fn(np.zeros((1, 22050), np.float32), DIGIT))
+            assert np.isfinite(got).all()
+            np.testing.assert_allclose(got[0], want, atol=2e-3)
+
+    def test_pure_tone_no_worse_than_direct_int8(self):
+        """Pure tones are the int8 digit scheme's worst input class (the
+        truncated DFT constants surface in near-null bins inside the
+        top_db window; docs/PARITY.md tolerance table). Pin that (a) the
+        hop-block int8 variant is no worse than the shipped direct int8
+        path there, and (b) the f32 hop-block path holds full parity."""
+        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import (
+            mfcc_hopdft_batch, mfcc_hopdft_int8_batch)
+        from asr_using_robust_nn_tpu.ops.mfcc_int8 import mfcc_int8_batch
+
+        t = np.linspace(0, 1, 22050, dtype=np.float32)
+        chirp = 0.7 * np.sin(2 * np.pi * (200 + 1800 * t) * t)
+        waves = np.stack([chirp, 0.5 * np.sin(2 * np.pi * 440 * t)])
+        want = [frontend_ref.mfcc_fixed_length_ref(w, 44) for w in waves]
+
+        def maxerr(fn):
+            got = np.asarray(fn(waves.astype(np.float32), DIGIT))
+            return max(np.max(np.abs(g - w)) for g, w in zip(got, want))
+
+        assert maxerr(mfcc_hopdft_batch) < 1e-3
+        e_hop8 = maxerr(mfcc_hopdft_int8_batch)
+        e_dir8 = maxerr(mfcc_int8_batch)
+        assert e_hop8 <= e_dir8 * 1.2 + 1e-4, (e_hop8, e_dir8)
+
+    def test_dispatcher_exposes_and_gates(self, rng):
+        from asr_using_robust_nn_tpu.frontend.mfcc import Frontend
+
+        waves = (rng.standard_normal((2, 22050)) * 0.3).astype(np.float32)
+        got = np.asarray(Frontend(DIGIT, backend="hopdft")(waves))
+        want = np.asarray(Frontend(DIGIT, backend="xla")(waves))
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+        # speaker preset (441 % 220 != 0) must be rejected at construction
+        with pytest.raises(ValueError, match="hop"):
+            Frontend(SPEAKER, backend="hopdft")
+        with pytest.raises(ValueError, match="hop"):
+            Frontend(SPEAKER, backend="hopdft_int8")
+
+
 class TestInt8PallasFused:
     """ops/pallas_mfcc.py::mfcc_pallas_int8_batch (interpret mode: the
     Mosaic path needs a real TPU; this pins the kernel's math)."""
