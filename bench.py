@@ -386,7 +386,43 @@ def load_reference_baseline() -> dict | None:
     return None
 
 
+def _backend_reachable(timeout_s: float) -> bool:
+    """Initialize the default JAX backend on a daemon thread with a
+    deadline. The axon tunnel's PJRT client build blocks INDEFINITELY when
+    the tunnel is unreachable (observed 2026-08-17); without this guard an
+    outage turns the driver's bench run into an eternal hang instead of a
+    diagnosable JSON line. On success the initialized backend is process-
+    cached, so the daemon thread's work is not repeated."""
+    import threading
+
+    done = threading.Event()
+
+    def _init():
+        import jax
+
+        jax.devices()
+        done.set()
+
+    threading.Thread(target=_init, daemon=True).start()
+    return done.wait(timeout_s)
+
+
 def main(quick: bool = False) -> int:
+    deadline = time.monotonic() + (120 if quick else 900)
+    while not _backend_reachable(timeout_s=120):
+        if time.monotonic() >= deadline:
+            print(json.dumps({
+                "metric": "MFCC+train+FGSM pipeline throughput",
+                "value": None,
+                "unit": "utterances/sec/chip",
+                "vs_baseline": None,
+                "error": ("JAX default backend failed to initialize before "
+                          "the deadline (axon TPU tunnel unreachable: PJRT "
+                          "client build blocks). No measurement taken - see "
+                          "the last recorded BENCH_r*.json for prior-round "
+                          "numbers."),
+            }))
+            return 1
     stats = measure_tpu(quick=quick)
     ref = load_reference_baseline()
     vs = None
