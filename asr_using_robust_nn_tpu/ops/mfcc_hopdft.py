@@ -57,9 +57,12 @@ __all__ = ["mfcc_hopdft_batch", "mfcc_hopdft_int8_batch", "hopdft_supported"]
 
 
 def hopdft_supported(cfg: FrontendConfig) -> bool:
-    """The decomposition needs integral n_fft/hop and a full-frame window
-    (frequency-domain Hann assumes the window is periodic over n_fft)."""
-    return cfg.n_fft % cfg.hop_length == 0 and cfg.win_length == cfg.n_fft
+    """The decomposition needs integral n_fft/hop, a full-frame window
+    (frequency-domain Hann assumes the window is periodic over n_fft), and
+    even n_fft (_window_and_power's Hermitian edge taps assume a real
+    Nyquist bin exists)."""
+    return (cfg.n_fft % cfg.hop_length == 0 and cfg.win_length == cfg.n_fft
+            and cfg.n_fft % 2 == 0)
 
 
 def _block_dft_constants(cfg: FrontendConfig) -> tuple[np.ndarray, np.ndarray]:
@@ -185,6 +188,15 @@ def mfcc_hopdft_int8_batch(
     assert hopdft_supported(cfg), (
         f"hop-block DFT needs hop | n_fft and win == n_fft, got "
         f"n_fft={cfg.n_fft} hop={cfg.hop_length} win={cfg.win_length}"
+    )
+    r = cfg.n_fft // cfg.hop_length
+    # the int8 path phase-combines IN INT32 (exact only when the unit
+    # r-th roots are {0, +-1}); other overlap ratios would silently
+    # truncate cos/sin values on the int32 cast — refuse them here, the
+    # f32 variant handles them correctly
+    assert r in (1, 2, 4), (
+        f"int8 hop-block combine needs n_fft/hop in {{1,2,4}} (exact "
+        f"integer roots), got {r}; use mfcc_hopdft_batch"
     )
     b, n_samples = waves.shape
     n_frames = cfg.num_frames(n_samples)

@@ -298,6 +298,48 @@ class TestHopDftVariant:
             assert np.isfinite(got).all()
             np.testing.assert_allclose(got[0], want, atol=2e-3)
 
+    def test_other_overlap_ratios(self, rng):
+        """r = n_fft/hop generality: r=2 works in both variants; r=3 has
+        non-integer unit roots, so the f32 combine handles it and the int8
+        variant refuses rather than silently truncating the cos/sin
+        coefficients on its exact-int32 combine."""
+        import dataclasses
+
+        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import (
+            hopdft_supported, mfcc_hopdft_batch, mfcc_hopdft_int8_batch)
+
+        waves = (rng.standard_normal((2, 22050)) * 0.3).astype(np.float32)
+
+        r2 = dataclasses.replace(DIGIT, hop_length=1024, utterance_length=22)
+        assert hopdft_supported(r2)
+        for fn in (mfcc_hopdft_batch, mfcc_hopdft_int8_batch):
+            got = np.asarray(fn(waves, r2))
+            for i in range(2):
+                want = frontend_ref.mfcc_fixed_length_ref(
+                    waves[i], r2.utterance_length, sr=r2.sr, n_fft=r2.n_fft,
+                    hop_length=r2.hop_length, win_length=r2.win_length,
+                )
+                np.testing.assert_allclose(got[i], want, atol=1e-3,
+                                           rtol=1e-4)
+
+        r3 = dataclasses.replace(DIGIT, n_fft=2046, hop_length=682,
+                                 win_length=2046, utterance_length=33)
+        assert hopdft_supported(r3)
+        got = np.asarray(mfcc_hopdft_batch(waves, r3))
+        for i in range(2):
+            want = frontend_ref.mfcc_fixed_length_ref(
+                waves[i], r3.utterance_length, sr=r3.sr, n_fft=r3.n_fft,
+                hop_length=r3.hop_length, win_length=r3.win_length,
+            )
+            np.testing.assert_allclose(got[i], want, atol=1e-3, rtol=1e-4)
+        with pytest.raises(AssertionError, match="1,2,4"):
+            mfcc_hopdft_int8_batch(waves, r3)
+
+        # odd n_fft: no Nyquist bin -> unsupported (Hermitian edge taps)
+        odd = dataclasses.replace(DIGIT, n_fft=441, hop_length=147,
+                                  win_length=441, utterance_length=151)
+        assert not hopdft_supported(odd)
+
     def test_pure_tone_no_worse_than_direct_int8(self):
         """Pure tones are the int8 digit scheme's worst input class (the
         truncated DFT constants surface in near-null bins inside the
