@@ -125,11 +125,17 @@ def noisy_waves(
     scalars inside a jit as long as the chosen branch is fixed (pass 0.0 /
     non-zero consistently — `fused_audio_sweep` pins the branch with a
     static `kind` instead)."""
+    def _on(v):
+        return v is not None and not (isinstance(v, float) and v == 0.0)
+
     waves = jnp.asarray(waves, jnp.float32)
-    if sigma is not None and not (isinstance(sigma, float) and sigma == 0.0):
+    if _on(sigma):
         noisy = add_white_noise(waves, sigma, key)
         masked_noise = True
-    elif alpha is not None and not (isinstance(alpha, float) and alpha == 0.0):
+    elif _on(alpha) and _on(p):
+        # the reference's mixture branch requires BOTH p and alpha nonzero
+        # (`attacks.py:105-111`); alpha alone with p=0 means clean audio,
+        # not sigma=alpha white noise
         keys = jax.random.split(key, waves.shape[0])
         noisy = jax.vmap(lambda w, k: add_noise(w, p, alpha, k))(waves, keys)
         masked_noise = True
@@ -167,8 +173,7 @@ def audio_noise_features(
     """
     from ..frontend.mfcc import Frontend
 
-    noisy = noisy_waves(waves, key, sigma=sigma, p=p,
-                        alpha=alpha if p != 0.0 else 0.0,
+    noisy = noisy_waves(waves, key, sigma=sigma, p=p, alpha=alpha,
                         snr_db=snr_db, lengths=lengths)
     fe = Frontend(cfg, backend=backend)
     return np.asarray(fe.flat(noisy, lengths=lengths))

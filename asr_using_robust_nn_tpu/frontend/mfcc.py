@@ -45,6 +45,7 @@ from ..ops.mfcc_hopdft import (
     hopdft_supported,
     mfcc_hopdft_batch,
     mfcc_hopdft_int8_batch,
+    validate_hopdft,
 )
 from ..ops.mfcc_int8 import mfcc_int8_batch
 from ..ops.mfcc_xla import FrontendConfig, mfcc_xla_batch
@@ -94,12 +95,11 @@ class Frontend:
         # by then the caller is about to run on a device anyway.
         if backend != "auto" and backend not in self._BACKENDS:
             raise ValueError(f"unknown frontend backend {backend!r}")
-        if backend.startswith("hopdft") and not hopdft_supported(cfg):
-            raise ValueError(
-                f"backend {backend!r} needs hop | n_fft and win == n_fft "
-                f"(got n_fft={cfg.n_fft} hop={cfg.hop_length} "
-                f"win={cfg.win_length}); use 'xla'/'int8'"
-            )
+        if backend.startswith("hopdft"):
+            # eager domain check (incl. the int8 variant's exact-root
+            # requirement) — fail at construction with a readable error,
+            # not at first trace
+            validate_hopdft(cfg, int8=backend == "hopdft_int8")
         self.cfg = cfg
         self._backend = backend
 

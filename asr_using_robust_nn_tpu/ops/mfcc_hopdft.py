@@ -53,7 +53,13 @@ from . import filters
 from .mfcc_int8 import KEEP_PAIRS, _const_digits, _wave_digits
 from .mfcc_xla import FrontendConfig, _dft_precision, _finish_mfcc
 
-__all__ = ["mfcc_hopdft_batch", "mfcc_hopdft_int8_batch", "hopdft_supported"]
+__all__ = [
+    "mfcc_hopdft_batch",
+    "mfcc_hopdft_int8_batch",
+    "hopdft_supported",
+    "hopdft_int8_supported",
+    "validate_hopdft",
+]
 
 
 def hopdft_supported(cfg: FrontendConfig) -> bool:
@@ -63,6 +69,32 @@ def hopdft_supported(cfg: FrontendConfig) -> bool:
     Nyquist bin exists)."""
     return (cfg.n_fft % cfg.hop_length == 0 and cfg.win_length == cfg.n_fft
             and cfg.n_fft % 2 == 0)
+
+
+def hopdft_int8_supported(cfg: FrontendConfig) -> bool:
+    """The int8 variant additionally needs the unit r-th roots to be
+    {0, +-1} (r = n_fft/hop in {1, 2, 4}): its phase combine runs in exact
+    int32, and non-integer cos/sin coefficients would silently truncate on
+    the dtype cast. The f32 variant handles any integral r."""
+    return hopdft_supported(cfg) and cfg.n_fft // cfg.hop_length in (1, 2, 4)
+
+
+def validate_hopdft(cfg: FrontendConfig, int8: bool) -> None:
+    """Raise a readable ValueError (eagerly callable — construction time,
+    not first-trace time; never stripped by python -O) when cfg is outside
+    the decomposition's domain."""
+    if not hopdft_supported(cfg):
+        raise ValueError(
+            f"hop-block DFT needs hop | n_fft, win == n_fft and even n_fft,"
+            f" got n_fft={cfg.n_fft} hop={cfg.hop_length}"
+            f" win={cfg.win_length}; use the 'xla'/'int8' backends"
+        )
+    if int8 and not hopdft_int8_supported(cfg):
+        raise ValueError(
+            f"int8 hop-block combine needs n_fft/hop in {{1,2,4}} (exact "
+            f"integer roots), got {cfg.n_fft // cfg.hop_length}; use "
+            f"mfcc_hopdft_batch (backend='hopdft')"
+        )
 
 
 def _block_dft_constants(cfg: FrontendConfig) -> tuple[np.ndarray, np.ndarray]:
@@ -144,18 +176,15 @@ def mfcc_hopdft_batch(
     cfg: FrontendConfig,
     lengths: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Batched MFCC via hop-block rDFT. The block matmul honors
-    cfg.dft_algorithm (bf16_x6/bf16_x3 DotAlgorithm presets, as the direct
-    path does) and defaults to precision=highest — either way it is ~r-fold
-    cheaper than the direct DFT."""
-    assert hopdft_supported(cfg), (
-        f"hop-block DFT needs hop | n_fft and win == n_fft, got "
-        f"n_fft={cfg.n_fft} hop={cfg.hop_length} win={cfg.win_length}"
-    )
+    """Batched MFCC via hop-block rDFT, same precision contract as
+    mfcc_xla_batch: matmuls run at cfg.precision, and the block DFT
+    additionally honors cfg.dft_algorithm (bf16_x6/bf16_x3 DotAlgorithm
+    presets) — either way ~r-fold cheaper than the direct DFT."""
+    validate_hopdft(cfg, int8=False)
     b, n_samples = waves.shape
     n_frames = cfg.num_frames(n_samples)
     _, _, mel_t, dct_t = cfg.constants(np.float32)
-    prec = jax.lax.Precision("highest")
+    prec = jax.lax.Precision(cfg.precision.lower())
 
     cr, ci = _block_dft_constants(cfg)
     pad = cfg.n_fft // 2
@@ -184,24 +213,14 @@ def mfcc_hopdft_int8_batch(
     """Hop-block rDFT with the base-128 int8 digit decomposition: the
     block partial-DFT runs as three digit-sum-grouped int8 MXU matmuls
     (exact int32 accumulation, ops/mfcc_int8.py's scheme) over a
-    contraction of hop instead of n_fft samples."""
-    assert hopdft_supported(cfg), (
-        f"hop-block DFT needs hop | n_fft and win == n_fft, got "
-        f"n_fft={cfg.n_fft} hop={cfg.hop_length} win={cfg.win_length}"
-    )
-    r = cfg.n_fft // cfg.hop_length
-    # the int8 path phase-combines IN INT32 (exact only when the unit
-    # r-th roots are {0, +-1}); other overlap ratios would silently
-    # truncate cos/sin values on the int32 cast — refuse them here, the
-    # f32 variant handles them correctly
-    assert r in (1, 2, 4), (
-        f"int8 hop-block combine needs n_fft/hop in {{1,2,4}} (exact "
-        f"integer roots), got {r}; use mfcc_hopdft_batch"
-    )
+    contraction of hop instead of n_fft samples. The int8 dots are exact
+    (parity is independent of cfg.precision; the mel/DCT finish runs at
+    cfg.precision like the direct int8 path)."""
+    validate_hopdft(cfg, int8=True)
     b, n_samples = waves.shape
     n_frames = cfg.num_frames(n_samples)
     _, _, mel_t, dct_t = cfg.constants(np.float32)
-    prec = jax.lax.Precision("highest")
+    prec = jax.lax.Precision(cfg.precision.lower())
 
     cr, ci = _block_dft_constants(cfg)
     c_digits = _const_digits(np.concatenate([cr, ci], axis=1))

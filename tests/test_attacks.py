@@ -67,6 +67,20 @@ class TestNoiseModels:
             )
             assert abs(got_snr - snr) < 0.5
 
+    def test_mixture_requires_both_p_and_alpha(self, rng):
+        """Reference semantics (`attacks.py:105-111`): the mixture branch
+        fires only when BOTH p and alpha are nonzero. alpha alone must
+        return CLEAN audio, not sigma=alpha white noise (round-3 review)."""
+        waves = (rng.standard_normal((2, 4000)) * 0.1).astype(np.float32)
+        key = jax.random.PRNGKey(3)
+        clean = np.asarray(blackbox.noisy_waves(waves, key, alpha=0.05))
+        np.testing.assert_array_equal(clean, waves)
+        p_only = np.asarray(blackbox.noisy_waves(waves, key, p=0.01))
+        np.testing.assert_array_equal(p_only, waves)
+        both = np.asarray(blackbox.noisy_waves(waves, key, p=0.01,
+                                               alpha=0.05))
+        assert not np.allclose(both, waves)
+
     def test_audio_noise_features_pipeline(self, rng):
         from asr_using_robust_nn_tpu.ops.mfcc_xla import FrontendConfig
 

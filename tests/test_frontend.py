@@ -332,8 +332,13 @@ class TestHopDftVariant:
                 hop_length=r3.hop_length, win_length=r3.win_length,
             )
             np.testing.assert_allclose(got[i], want, atol=1e-3, rtol=1e-4)
-        with pytest.raises(AssertionError, match="1,2,4"):
+        with pytest.raises(ValueError, match="1,2,4"):
             mfcc_hopdft_int8_batch(waves, r3)
+        # and eagerly at dispatcher construction (python -O safe)
+        from asr_using_robust_nn_tpu.frontend.mfcc import Frontend
+        with pytest.raises(ValueError, match="1,2,4"):
+            Frontend(r3, backend="hopdft_int8")
+        Frontend(r3, backend="hopdft")  # f32 variant accepts r=3
 
         # odd n_fft: no Nyquist bin -> unsupported (Hermitian edge taps)
         odd = dataclasses.replace(DIGIT, n_fft=441, hop_length=147,
