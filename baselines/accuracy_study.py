@@ -160,45 +160,46 @@ def build_keras_model(task: str, variant: str, seed: int):
     return model
 
 
-class KerasSimpleNormConstraint:
-    """`simple_norm_constraint` (`VD/Constraints.py:135-189`): per-batch
-    host product-spectral-norm projection, the reference's known-good
-    constraint (rho=0.1 digit / 1.0 speaker)."""
+def keras_simple_norm_constraint(rho):
+    """`simple_norm_constraint` (`VD/Constraints.py:135-189`) as a Keras
+    callback: per-batch host product-spectral-norm projection, the
+    reference's known-good constraint (rho=0.1 digit / 1.0 speaker)."""
+    from tensorflow.keras.callbacks import Callback
 
-    def __new__(cls, rho):
-        from tensorflow.keras.callbacks import Callback
+    eps = np.spacing(1)
 
-        eps = np.spacing(1)
+    class _C(Callback):
+        def on_batch_end(self, batch, logs=None):
+            dense = [l for l in self.model.layers if "dense" in l.name]
+            m = len(dense)
+            # LITERAL reference semantics (`VD/Constraints.py:158-179`):
+            # get_projection re-reads the LIVE model for every layer, so
+            # sigma is recomputed from the already-rescaled earlier
+            # layers — one batch does NOT snap the product norm to rho,
+            # it converges there over batches. (A single shared factor
+            # here would apply (rho/sigma) to the product in one shot —
+            # a strictly STRONGER constraint than the reference's, which
+            # round-3 debugging showed systematically depresses the
+            # Keras side's clean accuracy vs the framework.)
+            for l in dense:
+                w_list = [ly.get_weights()[0] for ly in dense]
+                cst = None
+                for w in reversed(w_list):
+                    cst = w.T if cst is None else cst @ w.T
+                factor = (rho / (np.linalg.norm(cst, ord=2) + eps)) ** (
+                    1 / m
+                )
+                w, b = l.get_weights()
+                l.set_weights([w * factor, b])
 
-        class _C(Callback):
-            def on_batch_end(self, batch, logs=None):
-                dense = [l for l in self.model.layers if "dense" in l.name]
-                m = len(dense)
-                # LITERAL reference semantics (`VD/Constraints.py:158-179`):
-                # get_projection re-reads the LIVE model for every layer, so
-                # sigma is recomputed from the already-rescaled earlier
-                # layers — one batch does NOT snap the product norm to rho,
-                # it converges there over batches. (A single shared factor
-                # here would apply (rho/sigma) to the product in one shot —
-                # a strictly STRONGER constraint than the reference's, which
-                # round-3 debugging showed systematically depresses the
-                # Keras side's clean accuracy vs the framework.)
-                for l in dense:
-                    w_list = [ly.get_weights()[0] for ly in dense]
-                    cst = None
-                    for w in reversed(w_list):
-                        cst = w.T if cst is None else cst @ w.T
-                    factor = (rho / (np.linalg.norm(cst, ord=2) + eps)) ** (
-                        1 / m
-                    )
-                    w, b = l.get_weights()
-                    l.set_weights([w * factor, b])
-
-        return _C()
+    return _C()
 
 
-def run_reference_pipeline(task, feats, epochs, patience, rho, seed):
-    """Train both variants with the reference recipe; return eval closures."""
+def run_reference_pipeline(task, feats, epochs, patience, rho, seed,
+                           ckpt_root):
+    """Train both variants with the reference recipe; return eval closures.
+    Checkpoints land under ckpt_root (the study workdir) so repeated runs
+    don't strew orphaned weight files across /tmp."""
     os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
     import tempfile
 
@@ -222,15 +223,16 @@ def run_reference_pipeline(task, feats, epochs, patience, rho, seed):
         # the patience actually fires, so a run that hits the epoch cap
         # evaluates FINAL weights (while the framework, like the
         # reference, always evaluates the best-val weights).
-        best_path = os.path.join(tempfile.mkdtemp(prefix="ks_best_"),
-                                 "best.weights.h5")
+        best_path = os.path.join(
+            tempfile.mkdtemp(prefix="ks_best_", dir=ckpt_root),
+            "best.weights.h5")
         callbacks = [
             EarlyStopping(monitor="val_loss", patience=patience),
             ModelCheckpoint(best_path, monitor="val_loss",
                             save_best_only=True, save_weights_only=True),
         ]
         if variant == "constrained":
-            callbacks.append(KerasSimpleNormConstraint(rho))
+            callbacks.append(keras_simple_norm_constraint(rho))
         # reference-exact input pipeline: tf.data shuffle with
         # reshuffle_each_iteration=False — the SAME batch order every epoch
         # (`VD/train_google_dataset.py:35-40`); plain fit(shuffle=True)
@@ -277,6 +279,35 @@ def run_reference_pipeline(task, feats, epochs, patience, rho, seed):
     return out, weight_paths
 
 
+def make_framework_eval(cfg, params, state):
+    """(predict, fgsm) closures over the framework forward/attack stack.
+    SHARED by run_framework_pipeline and run_cross_probe — the cross-probe
+    exists to compare eval stacks at identical weights, so both rows must
+    go through this one implementation."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_using_robust_nn_tpu.attacks import whitebox
+    from asr_using_robust_nn_tpu.models.mlp import apply_mlp
+
+    def logits_fn(xx):
+        return apply_mlp(cfg, params, state, xx, train=False)[0]
+
+    def predict(x):
+        probs = []
+        for i in range(0, len(x), 2048):
+            probs.append(np.asarray(jax.nn.softmax(
+                logits_fn(jnp.asarray(x[i:i + 2048], jnp.float32)), -1)))
+        return np.concatenate(probs, 0)
+
+    def fgsm(x, y, eps):
+        return np.asarray(whitebox.fgsm(
+            logits_fn, jnp.asarray(x, jnp.float32),
+            jnp.asarray(y, jnp.int32), eps))
+
+    return predict, fgsm
+
+
 def run_cross_probe(task, weight_paths):
     """Same-weights cross-probe: import the reference-recipe-trained Keras
     checkpoints into the framework (`train.checkpoints.import_keras_h5`)
@@ -288,9 +319,7 @@ def run_cross_probe(task, weight_paths):
     training-trajectory variance that dominates white-box probes at
     cliff-eps (independently trained nets differ by several points there
     regardless of framework)."""
-    import jax
-
-    from asr_using_robust_nn_tpu.models.mlp import MLPConfig, apply_mlp
+    from asr_using_robust_nn_tpu.models.mlp import MLPConfig
     from asr_using_robust_nn_tpu.train.checkpoints import import_keras_h5
 
     cfgs = {
@@ -302,31 +331,7 @@ def run_cross_probe(task, weight_paths):
     out = {}
     for variant, cfg in cfgs.items():
         params, state = import_keras_h5(weight_paths[variant], cfg)
-
-        def make_eval(cfg, params, state):
-            import jax.numpy as jnp
-
-            from asr_using_robust_nn_tpu.attacks import whitebox
-
-            def logits_fn(xx):
-                return apply_mlp(cfg, params, state, xx, train=False)[0]
-
-            def predict(x):
-                probs = []
-                for i in range(0, len(x), 2048):
-                    probs.append(np.asarray(jax.nn.softmax(
-                        logits_fn(jnp.asarray(x[i:i + 2048], jnp.float32)),
-                        -1)))
-                return np.concatenate(probs, 0)
-
-            def fgsm(x, y, eps):
-                return np.asarray(whitebox.fgsm(
-                    logits_fn, jnp.asarray(x, jnp.float32),
-                    jnp.asarray(y, jnp.int32), eps))
-
-            return predict, fgsm
-
-        out[variant] = make_eval(cfg, params, state)
+        out[variant] = make_framework_eval(cfg, params, state)
     return out
 
 
@@ -342,7 +347,7 @@ def run_framework_pipeline(task, feats, epochs, patience, rho, seed,
         make_simple_norm_constraint,
     )
     from asr_using_robust_nn_tpu.models.mlp import (
-        MLPConfig, apply_mlp, init_mlp,
+        MLPConfig, init_mlp,
     )
     from asr_using_robust_nn_tpu.train import TrainConfig, Trainer
 
@@ -375,31 +380,7 @@ def run_framework_pipeline(task, feats, epochs, patience, rho, seed,
         res = trainer.fit(tr.astype(np.float32), ltr,
                           dv.astype(np.float32), ldv)
         params, state = res["best_params"], res["best_state"]
-
-        def make_eval(cfg, params, state):
-            import jax.numpy as jnp
-
-            from asr_using_robust_nn_tpu.attacks import whitebox
-
-            def logits_fn(xx):
-                return apply_mlp(cfg, params, state, xx, train=False)[0]
-
-            def predict(x):
-                probs = []
-                for i in range(0, len(x), 2048):
-                    probs.append(np.asarray(jax.nn.softmax(
-                        logits_fn(jnp.asarray(x[i:i + 2048], jnp.float32)),
-                        -1)))
-                return np.concatenate(probs, 0)
-
-            def fgsm(x, y, eps):
-                return np.asarray(whitebox.fgsm(
-                    logits_fn, jnp.asarray(x, jnp.float32),
-                    jnp.asarray(y, jnp.int32), eps))
-
-            return predict, fgsm
-
-        out[variant] = make_eval(cfg, params, state)
+        out[variant] = make_framework_eval(cfg, params, state)
     return out
 
 
@@ -437,11 +418,29 @@ def try_fetch_speech_commands() -> str:
         return f"blocked: {type(e).__name__}: {e}"
 
 
+def corpus_fingerprint(task, args) -> str:
+    """Short hash of every knob that shapes the generated corpus. Baked
+    into the corpus directory name so re-running with different knobs (or
+    fewer files) in the same --workdir can NEVER mix stale WAVs from a
+    previous run into the study (the generators write '{i}.wav' with
+    exist_ok=True and don't clear)."""
+    import hashlib
+
+    if task == "digit":
+        knobs = (args.files_per_class, args.f1_gap, args.f1_jitter,
+                 args.f2_gap, args.f2_jitter, args.noise_floor,
+                 args.shortcut_amp)
+    else:
+        knobs = (args.recordings,)
+    return hashlib.md5(repr(knobs).encode()).hexdigest()[:10]
+
+
 def run_task(task, args, seed):
     import examples.hard_corpus as hc
 
     t0 = time.time()
-    root = os.path.join(args.workdir, f"{task}_s{seed}")
+    root = os.path.join(
+        args.workdir, f"{task}_s{seed}_{corpus_fingerprint(task, args)}")
     if task == "digit":
         # knobs chosen for the mid-difficulty regime (clean ~85-95%): at
         # ceiling both pipelines trivially agree; at chance the deltas are
@@ -483,8 +482,19 @@ def run_task(task, args, seed):
         fw_dv, fw_ldv = framework_features(fdv, ldv, task, cfg)
         fw_te, fw_lte = framework_features(fte, lte, task, cfg)
     fw = (fw_tr, fw_ltr, fw_dv, fw_ldv, fw_te, fw_lte)
-    assert ref[0].shape == fw[0].shape, (ref[0].shape, fw[0].shape)
-    feat_gap = float(np.abs(ref[0] - np.asarray(fw[0])).max())
+    # two independent feature pipelines: every split must agree in shape,
+    # labels, and value (the feature gap is the basis for attributing any
+    # accuracy delta to training rather than features — measure it where
+    # the accuracies are computed, i.e. ALL splits incl. test)
+    feat_gap = 0.0
+    for i, split in ((0, "train"), (2, "dev"), (4, "test")):
+        assert ref[i].shape == fw[i].shape, (
+            split, ref[i].shape, fw[i].shape)
+        np.testing.assert_array_equal(
+            np.asarray(ref[i + 1]), np.asarray(fw[i + 1]),
+            err_msg=f"{split} label mismatch between feature pipelines")
+        feat_gap = max(feat_gap,
+                       float(np.abs(ref[i] - np.asarray(fw[i])).max()))
 
     # standardize fit-on-all, per pipeline on its own features (the
     # reference's leakage-prone protocol, `VD/train_google_dataset.py:27-33`)
@@ -507,7 +517,8 @@ def run_task(task, args, seed):
 
     t_ref0 = time.time()
     ref_models, ref_wpaths = run_reference_pipeline(
-        task, ref_feats, epochs, patience, rho, seed)
+        task, ref_feats, epochs, patience, rho, seed,
+        ckpt_root=args.workdir)
     ref_rows = evaluate_models(ref_models, ref_feats[4], ref_feats[5],
                                noise_draws)
     t_ref = time.time() - t_ref0
@@ -670,7 +681,21 @@ def main():
         "speech_commands_fetch": try_fetch_speech_commands(),
         "tasks": {},
     }
-    for task in args.tasks.split(","):
+    tasks = [t.strip() for t in args.tasks.split(",") if t.strip()]
+    unknown = [t for t in tasks if t not in ("digit", "speaker")]
+    if unknown:
+        # run_task dispatches digit-vs-ELSE; a typo would silently run the
+        # speaker recipe under the wrong key
+        raise SystemExit(f"unknown task(s) {unknown}; "
+                         f"valid: digit, speaker")
+
+    def persist():
+        # a multi-hour study must survive a late failure: write after
+        # every completed seed, not once at the end
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+    for task in tasks:
         runs = []
         for seed in range(args.seeds):
             print(f"[{task} seed {seed}] running...", flush=True)
@@ -679,9 +704,9 @@ def main():
             print(f"[{task} seed {seed}] done in {r['total_s']}s "
                   f"(ref {r['reference_train_s']}s / "
                   f"fw {r['framework_train_s']}s)", flush=True)
-        results["tasks"][task] = {"runs": runs, "summary": summarize(runs)}
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+            results["tasks"][task] = {"runs": runs,
+                                      "summary": summarize(runs)}
+            persist()
     md = to_markdown(results)
     with open(args.md, "w") as f:
         f.write(md)
