@@ -330,20 +330,34 @@ def cmd_train(args):
     else:
         trainer = Trainer(cfg, tcfg, constraint=constraint,
                           constraint_state=cstate, epoch_callbacks=callbacks)
-    init_params = init_state = None
+    init_params = init_state = init_opt = best0 = None
     if args.resume and os.path.exists(os.path.join(args.ckpt, "best")):
         from ..train.checkpoints import CheckpointManager, validate_model_tree
 
-        tree, meta = CheckpointManager(args.ckpt).load_best()
+        # restore against an example tree so the optax NamedTuple structure
+        # (ScaleByAdamState etc.) comes back intact — a bare restore yields
+        # nested dicts that optimizer.update would reject
+        import jax as _jax
+        ex_p, ex_s, ex_o, _ = trainer._init_train_state(_jax.random.PRNGKey(0))
+        example = _jax.tree.map(
+            lambda a: np.asarray(a),
+            {"params": ex_p, "state": ex_s, "opt_state": ex_o})
         try:
+            tree, meta = CheckpointManager(args.ckpt).load_best(example)
             validate_model_tree(tree["params"], tree["state"], cfg)
         except ValueError as e:
             raise SystemExit(f"error: --resume checkpoint mismatch: {e}")
         init_params, init_state = tree["params"], tree["state"]
+        # continue the Adam trajectory, and seed best-val tracking with the
+        # checkpoint's stored val_loss — otherwise the resumed run's first
+        # (usually worse) epoch would overwrite the better saved checkpoint
+        init_opt = tree.get("opt_state")
+        best0 = meta.get("val_loss")
         print(f"resumed from {args.ckpt} (epoch {meta.get('epoch')}, "
-              f"val_loss {meta.get('val_loss')})")
+              f"val_loss {best0})")
     res = trainer.fit(tr, d.train_label, dv, d.dev_label,
                       params=init_params, state=init_state,
+                      opt_state=init_opt, initial_best_val=best0,
                       checkpoint_dir=args.ckpt, metrics_dir=args.metrics_dir)
     test_loss, test_acc = trainer.evaluate(res["best_params"], res["best_state"],
                                            te, d.test_label)

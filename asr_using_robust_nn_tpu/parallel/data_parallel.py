@@ -23,13 +23,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.mlp import MLPConfig, apply_mlp
 from ..train.epoch_scan import _masked_forward_loss
-from ..train.trainer import Trainer, _nonneg_clamp
+from ..train.trainer import Trainer, apply_update
 from .mesh import DATA_AXIS, pad_to_multiple, replicated, sharded_batch
 
 __all__ = ["DataParallelTrainer", "psum_train_step"]
@@ -66,12 +65,9 @@ class DataParallelTrainer(Trainer):
             (loss, (state, acc)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, state, x, y, w, rng)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            if model_cfg.nonneg:
-                params = _nonneg_clamp(params)
-            if constraint is not None:
-                params, cstate = constraint(params, cstate)
+            params, opt_state, cstate = apply_update(
+                optimizer, model_cfg, constraint, grads, params, opt_state,
+                cstate)
             return params, state, opt_state, cstate, loss, acc
 
         self._dp_train = jax.jit(
@@ -144,10 +140,9 @@ def psum_train_step(model_cfg: MLPConfig, optimizer, mesh: Mesh):
             loss_fn, has_aux=True)(params)
         loss = jax.lax.psum(loss_frac, DATA_AXIS)
         acc = jax.lax.pmean(acc, DATA_AXIS)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        if model_cfg.nonneg:
-            params = _nonneg_clamp(params)
+        # explicit-collective demo path: no constraint support (cstate=None)
+        params, opt_state, _ = apply_update(
+            optimizer, model_cfg, None, grads, params, opt_state, None)
         return params, new_state, opt_state, loss, acc
 
     if model_cfg.batch_norm:

@@ -40,12 +40,22 @@ def maybe_init_distributed(coordinator: str | None = None,
     coord = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord is None:
         return False
+
+    def _env_int(name):
+        v = os.environ.get(name)
+        return int(v) if v is not None else None
+
+    # When neither the caller nor the env pins count/id, pass None through:
+    # jax.distributed.initialize then uses its own cluster auto-detection
+    # (TPU pod metadata, SLURM, ...). Defaulting to (1, 0) here would make
+    # every host of a launcher-managed slice initialize as its own
+    # 1-process cluster.
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=(num_processes if num_processes is not None
-                       else int(os.environ.get("JAX_NUM_PROCESSES", "1"))),
+                       else _env_int("JAX_NUM_PROCESSES")),
         process_id=(process_id if process_id is not None
-                    else int(os.environ.get("JAX_PROCESS_ID", "0"))),
+                    else _env_int("JAX_PROCESS_ID")),
     )
     return True
 

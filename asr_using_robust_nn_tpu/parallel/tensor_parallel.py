@@ -154,6 +154,16 @@ class TensorParallelTrainer(Trainer):
                 f"mesh axes must be ({DATA_AXIS!r}, {MODEL_AXIS!r})"
             )
         _check_divisible(model_cfg, mesh.shape[MODEL_AXIS])
+        if train_cfg is not None and train_cfg.device_resident:
+            # build_epoch_fn pins params/opt_state to replicated (P()) on
+            # its 1-D-mesh assumption; running it under a TP trainer would
+            # silently reshard the TP placements away on the first dispatch
+            # and train unsharded. Refuse rather than lie.
+            raise NotImplementedError(
+                "TensorParallelTrainer does not support "
+                "device_resident=True (the fused epoch program would "
+                "replicate the TP-sharded buffers); use the streaming fit"
+            )
         self.mesh = mesh
         super().__init__(model_cfg, train_cfg, **kw)
 
@@ -196,10 +206,16 @@ class TensorParallelTrainer(Trainer):
     def _init_train_state(self, key):
         return self.make_train_state(key)
 
-    def _adopt_train_state(self, params, state):
+    def _adopt_train_state(self, params, state, opt_state=None):
         # warm-start fit(params=..., state=...): copy (the steps donate
         # their inputs; device_put can alias already-identically-sharded
         # arrays) and re-place with the TP shardings
+        if opt_state is not None:
+            raise NotImplementedError(
+                "TensorParallelTrainer cannot adopt a restored optimizer "
+                "state yet (its leaves would need re-placing with the TP "
+                "shardings); resume with params/state only"
+            )
         params = jax.tree.map(jnp.array, params)
         state = jax.tree.map(jnp.array, state)
         params, state = shard_mlp(self.mesh, params, state)

@@ -203,20 +203,35 @@ def import_keras_h5(path, cfg) -> tuple[dict, dict]:
     dense_names = sorted(dense, key=_order_key)
     bn_names = sorted(bn, key=_order_key)
     params, state = init_mlp(cfg, jax.random.PRNGKey(0))
-    assert len(dense_names) == len(params["layers"]), (
-        f"checkpoint has {len(dense_names)} dense layers, model expects "
-        f"{len(params['layers'])}"
-    )
+    if len(dense_names) != len(params["layers"]):
+        raise ValueError(
+            f"checkpoint has {len(dense_names)} dense layers, model config "
+            f"expects {len(params['layers'])} (hidden={cfg.hidden}) — "
+            f"wrong --task/--variant?"
+        )
+    # BN layer count must match too: variants can share every Dense shape
+    # (speaker un/constrained both run 2020->...->20) and differ only in
+    # batch_norm, and validate_model_tree below can't see the mismatch
+    # because the template comes from init_mlp(cfg). Without this check a
+    # BN-model would load with gamma/beta/moving stats left at RANDOM INIT
+    # (or a no-BN model would silently discard the checkpoint's BN weights)
+    # and predict garbage with no error.
+    bn_idx = [i for i, l in enumerate(params["layers"]) if "gamma" in l]
+    if len(bn_names) != len(bn_idx):
+        raise ValueError(
+            f"checkpoint has {len(bn_names)} BatchNormalization layers, "
+            f"model config expects {len(bn_idx)} "
+            f"(batch_norm={cfg.batch_norm}) — wrong --variant?"
+        )
     for i, name in enumerate(dense_names):
         params["layers"][i]["w"] = dense[name]["kernel"].astype(np.float32)
         params["layers"][i]["b"] = dense[name]["bias"].astype(np.float32)
-    for i, name in enumerate(bn_names):
-        if "gamma" in params["layers"][i]:
-            params["layers"][i]["gamma"] = bn[name]["gamma"].astype(np.float32)
-            params["layers"][i]["beta"] = bn[name]["beta"].astype(np.float32)
-            state["layers"][i]["mean"] = bn[name]["moving_mean"].astype(np.float32)
-            state["layers"][i]["var"] = bn[name]["moving_variance"].astype(
-                np.float32
-            )
+    for i, name in zip(bn_idx, bn_names):
+        params["layers"][i]["gamma"] = bn[name]["gamma"].astype(np.float32)
+        params["layers"][i]["beta"] = bn[name]["beta"].astype(np.float32)
+        state["layers"][i]["mean"] = bn[name]["moving_mean"].astype(np.float32)
+        state["layers"][i]["var"] = bn[name]["moving_variance"].astype(
+            np.float32
+        )
     validate_model_tree(params, state, cfg)
     return params, state

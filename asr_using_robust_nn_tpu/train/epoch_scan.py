@@ -23,10 +23,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..models.mlp import MLPConfig, apply_mlp
-from .trainer import _nonneg_clamp
+from .trainer import apply_update
 
 __all__ = ["build_epoch_fn", "build_eval_fn"]
 
@@ -99,12 +98,9 @@ def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
                 functools.partial(_masked_forward_loss, model_cfg),
                 has_aux=True,
             )(params, state, x, y, w, rng)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            if model_cfg.nonneg:
-                params = _nonneg_clamp(params)
-            if constraint is not None:
-                params, cstate = constraint(params, cstate)
+            params, opt_state, cstate = apply_update(
+                optimizer, model_cfg, constraint, grads, params, opt_state,
+                cstate)
             return (params, state, opt_state, cstate, i + 1), (loss, acc,
                                                                jnp.sum(w))
 

@@ -25,7 +25,7 @@ import optax
 
 from ..models.mlp import MLPConfig, apply_mlp, init_mlp
 
-__all__ = ["TrainConfig", "Trainer", "adam_optimizer"]
+__all__ = ["TrainConfig", "Trainer", "adam_optimizer", "apply_update"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +65,23 @@ def _nonneg_clamp(params: dict) -> dict:
         dict(p, w=p["w"] * (p["w"] >= 0.0)) for p in params["layers"]
     ]
     return dict(params, layers=layers)
+
+
+def apply_update(optimizer, model_cfg, constraint, grads, params, opt_state,
+                 cstate):
+    """The ONE post-gradient sequence — optimizer update, NonNeg clamp,
+    constraint projection, in that order (the reference applies its
+    callbacks after the optimizer step, SURVEY.md §3.3). Shared by every
+    trainer variant (single-device, fused epoch scan, GSPMD data-parallel,
+    explicit-psum) so the 'identical math' contract between them is
+    enforced by construction rather than by keeping four copies in sync."""
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    if model_cfg.nonneg:
+        params = _nonneg_clamp(params)
+    if constraint is not None:
+        params, cstate = constraint(params, cstate)
+    return params, opt_state, cstate
 
 
 class Trainer:
@@ -108,12 +125,9 @@ class Trainer:
             (loss, (state, acc)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, state, x, y, rng)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            if model_cfg.nonneg:
-                params = _nonneg_clamp(params)
-            if constraint is not None:
-                params, cstate = constraint(params, cstate)
+            params, opt_state, cstate = apply_update(
+                optimizer, model_cfg, constraint, grads, params, opt_state,
+                cstate)
             return params, state, opt_state, cstate, loss, acc
 
         def eval_step(params, state, x, y):
@@ -134,15 +148,20 @@ class Trainer:
         cstate = jax.tree.map(jnp.array, self.constraint_state)
         return params, state, opt_state, cstate
 
-    def _adopt_train_state(self, params, state):
+    def _adopt_train_state(self, params, state, opt_state=None):
         """Warm-start path of fit(): defensively copy caller-owned trees
         (the jitted steps donate their inputs — a second fit() would
-        otherwise hit deleted arrays) and build fresh optimizer/constraint
-        state. Subclasses that place buffers on a mesh override this so a
-        warm-started fit() trains with their shardings too."""
+        otherwise hit deleted arrays). A restored optimizer state (Adam
+        moments + step count from a checkpoint) is adopted when given so a
+        resumed run continues the trajectory; otherwise the optimizer
+        starts fresh. Subclasses that place buffers on a mesh override
+        this so a warm-started fit() trains with their shardings too."""
         params = jax.tree.map(jnp.array, params)
         state = jax.tree.map(jnp.array, state)
-        opt_state = self.optimizer.init(params)
+        if opt_state is None:
+            opt_state = self.optimizer.init(params)
+        else:
+            opt_state = jax.tree.map(jnp.array, opt_state)
         cstate = jax.tree.map(jnp.array, self.constraint_state)
         return params, state, opt_state, cstate
 
@@ -195,21 +214,37 @@ class Trainer:
         val_y,
         params=None,
         state=None,
+        opt_state=None,
+        initial_best_val=None,
         checkpoint_dir=None,
         metrics_dir=None,
     ) -> dict:
         """Full training loop with early stopping; returns a result dict with
         best params (by val_loss, like ModelCheckpoint save_best_only) and
         history. Data is host numpy; batches stream to device per step.
+
+        Resume semantics: pass the checkpoint's params/state (+ opt_state to
+        continue the Adam trajectory) and its stored val_loss as
+        `initial_best_val` — without the latter a resumed run starts from
+        best=inf and its FIRST epoch would overwrite a better saved best
+        checkpoint with a worse model.
         """
         cfg = self.cfg
+        if len(val_x) == 0:
+            # device-resident eval would yield NaN val_loss every epoch
+            # (silently training to the epoch cap); streaming eval would
+            # ZeroDivisionError — fail early and readably instead
+            raise ValueError(
+                "fit() needs a non-empty validation split (early stopping "
+                "and best-checkpoint retention monitor val_loss)"
+            )
         key = jax.random.PRNGKey(cfg.seed)
         if params is None:
             key, k0 = jax.random.split(key)
             params, state, opt_state, cstate = self._init_train_state(k0)
         else:
             params, state, opt_state, cstate = self._adopt_train_state(
-                params, state
+                params, state, opt_state
             )
 
         train_x = np.asarray(train_x, dtype=np.float32)
@@ -217,7 +252,8 @@ class Trainer:
         rng = np.random.default_rng(cfg.seed)
         batch_idx = self._batches(len(train_x), rng)
 
-        best_val = np.inf
+        best_val = np.inf if initial_best_val is None else float(
+            initial_best_val)
         best = None
         wait = 0
         history = {"loss": [], "acc": [], "val_loss": [], "val_acc": []}
@@ -317,17 +353,24 @@ class Trainer:
             else:
                 if cfg.reshuffle_each_epoch:
                     batch_idx = self._batches(len(train_x), rng)
-                ep_loss = ep_acc = ep_n = 0.0
+                # collect device scalars and sync ONCE per epoch — float()
+                # per batch would block dispatch of step N+1 until step N
+                # finishes, defeating JAX's async pipelining on the hot loop
+                losses, accs, ns = [], [], []
                 for bidx in batch_idx:
                     key, krng = jax.random.split(key)
                     bx, by = self._place_batch(train_x[bidx], train_y[bidx])
                     params, state, opt_state, cstate, loss, acc = self.train_step(
                         params, state, opt_state, cstate, bx, by, krng,
                     )
-                    ep_loss += float(loss) * len(bidx)
-                    ep_acc += float(acc) * len(bidx)
-                    ep_n += len(bidx)
+                    losses.append(loss)
+                    accs.append(acc)
+                    ns.append(len(bidx))
                     steps += 1
+                w = np.asarray(ns, np.float64)
+                ep_loss = float(np.asarray(jnp.stack(losses)) @ w)
+                ep_acc = float(np.asarray(jnp.stack(accs)) @ w)
+                ep_n = float(w.sum())
                 examples_seen += int(ep_n)
                 epochs_done += 1
                 val_loss, val_acc = self.evaluate(params, state, val_x, val_y)

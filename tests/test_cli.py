@@ -135,6 +135,32 @@ class TestCLI:
         ])
         assert rc == 0
 
+    def test_train_resume_keeps_best_and_optimizer(self, artifacts, corpus,
+                                                   capsys):
+        """--resume must seed best-val from the checkpoint meta (a worse
+        first resumed epoch may NOT overwrite the better saved best) and
+        restore the Adam trajectory without structure errors."""
+        import json
+
+        ck = corpus / "ck_resume"
+        rc = main([
+            "train", "--task", "digit", "--variant", "unconstrained",
+            "--data", str(artifacts), "--ckpt", str(ck),
+            "--epochs", "4", "--patience", "10", "--batch-size", "8",
+        ])
+        assert rc == 0
+        meta0 = json.loads((ck / "meta.json").read_text())
+        rc = main([
+            "train", "--task", "digit", "--variant", "unconstrained",
+            "--data", str(artifacts), "--ckpt", str(ck), "--resume",
+            "--epochs", "1", "--patience", "10", "--batch-size", "8",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "resumed from" in out
+        meta1 = json.loads((ck / "meta.json").read_text())
+        assert meta1["val_loss"] <= meta0["val_loss"] + 1e-9
+
     def test_missing_subcommand_errors(self):
         with pytest.raises(SystemExit):
             main([])

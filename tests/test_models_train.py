@@ -196,6 +196,65 @@ class TestTrainer:
             np.asarray(res["best_params"]["layers"][0]["w"]),
         )
 
+    def test_resume_does_not_clobber_better_best(self, tmp_path, rng):
+        """Round-3 review: a resumed fit seeded with the checkpoint's
+        stored val_loss must NOT overwrite a better saved best checkpoint
+        with its own (worse) first epochs; and the restored optimizer
+        state must be adoptable (optax structure intact)."""
+        x, y = synthetic_task(rng, n=160)
+        cfg = small_cfg()
+        tr = Trainer(cfg, TrainConfig(batch_size=32, epochs=8, patience=100))
+        res = tr.fit(x[:96], y[:96], x[96:], y[96:],
+                     checkpoint_dir=tmp_path / "ck")
+        from asr_using_robust_nn_tpu.train.checkpoints import (
+            CheckpointManager)
+
+        mgr = CheckpointManager(tmp_path / "ck")
+        _, meta0 = mgr.load_best()
+        best0 = meta0["val_loss"]
+        assert abs(best0 - res["best_val_loss"]) < 1e-6
+        # resume exactly as the CLI does: warm params/state/opt_state +
+        # stored best val seed, 1 epoch (almost surely worse than best0)
+        tr2 = Trainer(cfg, TrainConfig(batch_size=32, epochs=1,
+                                       patience=100))
+        ex_p, ex_s, ex_o, _ = tr2._init_train_state(jax.random.PRNGKey(0))
+        example = jax.tree.map(np.asarray, {"params": ex_p, "state": ex_s,
+                                            "opt_state": ex_o})
+        tree, meta = mgr.load_best(example)
+        res2 = tr2.fit(x[:96], y[:96], x[96:], y[96:],
+                       params=tree["params"], state=tree["state"],
+                       opt_state=tree["opt_state"],
+                       initial_best_val=meta["val_loss"],
+                       checkpoint_dir=tmp_path / "ck")
+        _, meta2 = mgr.load_best()
+        # the stored best only improves (or stays) across the resume
+        assert meta2["val_loss"] <= best0 + 1e-9
+        assert res2["best_val_loss"] <= best0 + 1e-9
+
+    def test_fit_rejects_empty_validation(self, rng):
+        x, y = synthetic_task(rng, n=64)
+        tr = Trainer(small_cfg(), TrainConfig(batch_size=32, epochs=1))
+        with pytest.raises(ValueError, match="validation"):
+            tr.fit(x, y, x[:0], y[:0])
+
+    def test_import_keras_h5_rejects_bn_mismatch(self, tmp_path, rng):
+        """Round-3 review: variants can share every Dense shape and differ
+        only in batch_norm — loading across that boundary must raise, not
+        return a model with BN left at random init."""
+        from asr_using_robust_nn_tpu.train.checkpoints import (
+            export_h5, import_keras_h5)
+
+        cfg_bn = small_cfg(batch_norm=True)
+        cfg_no = small_cfg(batch_norm=False)
+        p, s = init_mlp(cfg_no, jax.random.PRNGKey(0))
+        export_h5(tmp_path / "no_bn.h5", p, s)
+        with pytest.raises(ValueError, match="BatchNormalization"):
+            import_keras_h5(tmp_path / "no_bn.h5", cfg_bn)
+        p2, s2 = init_mlp(cfg_bn, jax.random.PRNGKey(0))
+        export_h5(tmp_path / "bn.h5", p2, s2)
+        with pytest.raises(ValueError, match="BatchNormalization"):
+            import_keras_h5(tmp_path / "bn.h5", cfg_no)
+
     def test_h5_roundtrip(self, tmp_path, rng):
         cfg = small_cfg()
         params, state = init_mlp(cfg, jax.random.PRNGKey(3))

@@ -207,6 +207,18 @@ class TestTensorParallel:
                 TrainConfig(batch_size=8),
             )
 
+    def test_device_resident_rejected(self):
+        """Round-3 review: build_epoch_fn would replicate the TP-sharded
+        buffers on its 1-D-mesh assumption — the TP trainer must refuse
+        device_resident rather than silently train unsharded."""
+        from asr_using_robust_nn_tpu.parallel import TensorParallelTrainer
+
+        with pytest.raises(NotImplementedError, match="device_resident"):
+            TensorParallelTrainer(
+                cfg(), self._mesh(2, 4),
+                TrainConfig(batch_size=8, device_resident=True),
+            )
+
     def test_step_matches_single_device(self, rng):
         """One constrained TP train step == the single-device step (same
         init/batch/rng), and the updated kernels KEEP their TP shardings."""
