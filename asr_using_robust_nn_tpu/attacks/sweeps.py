@@ -39,8 +39,13 @@ GRIDS = {
     "snrs_db_speaker": [60, 50, 40, 30, 20, 15, 10, 5, 0],
     "audio_alphas_speaker": np.linspace(0, 0.2, 20),
     "audio_sigmas_speaker": np.linspace(0, 0.005, 10),
-    "fgsm_eps_raw": np.linspace(0.01, 0.3, 10),
-    "fgsm_eps_std": np.linspace(1, 30, 50),
+    # FGSM grid depends on what the attack SEES (`VD/attacks.py:497-499`):
+    # standardized unit-variance features take eps 0.01-0.3; raw dB-scale
+    # MFCCs (standardize-after mode) need eps 1-30. (Round-3 review: these
+    # two keys were previously named the other way around — behavior was
+    # correct, the names and a SURVEY sentence were inverted.)
+    "fgsm_eps_std": np.linspace(0.01, 0.3, 10),
+    "fgsm_eps_raw": np.linspace(1, 30, 50),
     "pgd_eps": np.linspace(1, 30, 50),
     "jsma_theta": [10.0],
     "cw_l2_confidence": np.linspace(1, 300, 3),
@@ -325,7 +330,7 @@ def whitebox_sweep(
         x, y = x[:max_samples], y[:max_samples]
     if strengths is None:
         strengths = {
-            "fgsm": GRIDS["fgsm_eps_raw"],
+            "fgsm": GRIDS["fgsm_eps_std"],
             "pgd": GRIDS["pgd_eps"],
             "jsma": GRIDS["jsma_theta"],
             "cw_l2": GRIDS["cw_l2_confidence"],

@@ -194,12 +194,19 @@ def cmd_prepare(args):
         print(f"error: --data-dir {args.data_dir!r} does not exist",
               file=sys.stderr)
         return 2
-    splits = build_dataset(args.data_dir, args.task, out_dir=args.out_dir,
-                           seed=args.seed, backend=args.backend)
-    if len(splits.train_data) == 0:
+    # check the corpus yields files BEFORE build_dataset writes anything:
+    # an empty run used to leave zero-row .npy artifacts in --out-dir that
+    # pass cmd_train's exists-check and fail later with an opaque error
+    from ..data.corpus import DIGIT_WORDS, walk_corpus
+
+    class_names = DIGIT_WORDS if args.task == "digit" else None
+    filenames, _, _ = walk_corpus(args.data_dir, class_names)
+    if len(filenames) == 0:
         print(f"error: no audio found under {args.data_dir!r} "
               f"(expected <dir>/<class>/*.wav)", file=sys.stderr)
         return 2
+    splits = build_dataset(args.data_dir, args.task, out_dir=args.out_dir,
+                           seed=args.seed, backend=args.backend)
     print(json.dumps({
         "train": list(splits.train_data.shape),
         "dev": list(splits.dev_data.shape),
@@ -331,6 +338,13 @@ def cmd_train(args):
         trainer = Trainer(cfg, tcfg, constraint=constraint,
                           constraint_state=cstate, epoch_callbacks=callbacks)
     init_params = init_state = init_opt = best0 = None
+    if args.resume and not os.path.exists(os.path.join(args.ckpt, "best")):
+        # an explicit resume request that can't be honored must not fall
+        # through to a silent from-scratch run (round-3 review)
+        print(f"error: --resume requested but {args.ckpt!r} has no 'best' "
+              f"checkpoint (wrong --ckpt, or nothing saved yet?)",
+              file=sys.stderr)
+        return 2
     if args.resume and os.path.exists(os.path.join(args.ckpt, "best")):
         from ..train.checkpoints import CheckpointManager, validate_model_tree
 
@@ -444,12 +458,13 @@ def cmd_attack(args):
             "white_audio": "audio_sigmas_speaker",
         }[args.type]])
     elif args.type == "fgsm" and not std_before:
-        # reference grid switch: attacks on raw (un-standardized) MFCCs use
-        # eps = linspace(1, 30, 50) instead of linspace(0.01, 0.3, 10)
+        # reference grid switch: attacks on raw (un-standardized) dB-scale
+        # MFCCs use eps = linspace(1, 30, 50) instead of the standardized
+        # grid linspace(0.01, 0.3, 10)
         # (`Voice digit recogniton/attacks.py:497-499`)
         from ..attacks.sweeps import GRIDS
 
-        strengths = list(GRIDS["fgsm_eps_std"])
+        strengths = list(GRIDS["fgsm_eps_raw"])
 
     audio_attacks = {"white_audio", "mixture_audio", "snr_audio"}
     if args.type in audio_attacks:
@@ -534,7 +549,7 @@ def cmd_bench(args):
         print("error: bench module not found (run from a source checkout or "
               "reinstall the package)", file=sys.stderr)
         return 2
-    bench.main(quick=args.quick)
+    return bench.main(quick=args.quick)
 
 
 def cmd_profile(args):
@@ -545,6 +560,7 @@ def cmd_profile(args):
         print("error: --steps must be >= 1", file=sys.stderr)
         return 2
     import jax
+    import jax.numpy as jnp
 
     from ..constraints import make_simple_norm_constraint
     from ..models.mlp import init_mlp
@@ -568,7 +584,10 @@ def cmd_profile(args):
     trainer = Trainer(cfg, TrainConfig(batch_size=args.batch_size), **kw)
     params, state = init_mlp(cfg, jax.random.PRNGKey(0))
     opt_state = trainer.optimizer.init(params)
-    cstate = kw.get("constraint_state")
+    # COPY the constraint state: train_step donates its inputs, and handing
+    # it trainer.constraint_state's own buffers would leave the trainer
+    # holding deleted arrays after the warmup step
+    cstate = jax.tree.map(jnp.array, kw.get("constraint_state"))
     # compile outside the trace so the trace shows steady-state execution
     out = trainer.train_step(params, state, opt_state, cstate, x, y,
                              jax.random.PRNGKey(1))

@@ -187,13 +187,23 @@ def make_fista_constraint(rho: float, nit: int = 2, alpha: float = 2.1) -> Const
         # the not-yet-projected later layers (model-order loop).
         ws = list(dense_kernels(params))
         m = len(ws)
+        # A_i = W_m^T...W_{i+1}^T reads layers NOT yet projected in this
+        # apply (their entry values — layer j is only overwritten at loop
+        # step j > i), so the whole left-associated suffix chain can be
+        # precomputed once: bit-identical results, O(m) matmuls instead of
+        # O(m^2) inside the fused train step. B_i reads ALREADY-projected
+        # layers and the reference accumulates it highest-index-first, so
+        # an incremental prepend would change float association — B stays
+        # rebuilt per layer to keep the literal-oracle match exact.
+        suffix: list = [None] * m
+        acc = None
+        for j in range(m - 1, -1, -1):
+            suffix[j] = acc
+            acc = ws[j].T if acc is None else acc @ ws[j].T
         for i in range(m):
             # A = W_m^T...W_{i+1}^T: (n_out_m, out_i); B = W_{i-1}^T...W_1^T:
             # (in_i, in_1); identity at the chain ends (Constraints.py:96-120).
-            a = None
-            for j in range(m - 1, i, -1):
-                t = ws[j].T
-                a = t if a is None else a @ t
+            a = suffix[i]
             if a is None:
                 a = jnp.eye(ws[i].shape[1], dtype=ws[i].dtype)
             b = None

@@ -18,6 +18,7 @@ __all__ = [
     "get_norms",
     "get_upper_lipschitz",
     "get_lipschitz_constrained",
+    "get_lipschitz_sound",
     "lipschitz_monitor",
 ]
 

@@ -6,7 +6,7 @@ Speaker task: `dataset/rodigits/<speaker>/*.wav`, label = sorted folder index
 (`Speaker recognition/extract_features_construct_dataset.py:114-137`).
 
 Fixes over the reference (documented in SURVEY.md §2.3): portable path
-separators instead of hard-coded '\\\\'; labels derived from the *same* glob
+separators instead of hard-coded '\\\\'; labels derived from the *same* sorted listing
 that produced the filenames (the reference counted os.listdir separately and
 assumed equal order/count).
 """
@@ -14,7 +14,6 @@ assumed equal order/count).
 from __future__ import annotations
 
 import os
-from glob import glob
 
 import numpy as np
 
@@ -61,8 +60,13 @@ def walk_corpus(
         d = os.path.join(data_dir, cls)
         if not os.path.isdir(d):
             continue
-        files = sorted(glob(os.path.join(d, "*")))
-        files = [f for f in files if f.lower().endswith(tuple(extensions))]
+        # os.listdir, not glob: glob metacharacters in data_dir or a class
+        # folder name ('run[1]', 'spk?') would silently match nothing and
+        # drop the class with no warning (round-3 review)
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.lower().endswith(tuple(extensions))
+        )
         filenames.extend(files)
         labels.extend([i] * len(files))
     return filenames, np.asarray(labels, dtype=np.int64), list(class_names)

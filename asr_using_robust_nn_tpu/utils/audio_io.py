@@ -83,7 +83,12 @@ def read_wav(path_or_bytes) -> tuple[np.ndarray, int]:
         else:
             raise ValueError(f"unsupported PCM bit depth {bits}")
     elif audio_format == 3:  # IEEE float
-        dt = "<f4" if bits == 32 else "<f8"
+        if bits == 32:
+            dt = "<f4"
+        elif bits == 64:
+            dt = "<f8"
+        else:
+            raise ValueError(f"unsupported IEEE-float bit depth {bits}")
         x = np.frombuffer(raw, dtype=dt).astype(np.float32)
     else:
         raise ValueError(f"unsupported WAV format code {audio_format}")

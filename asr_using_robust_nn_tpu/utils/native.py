@@ -158,7 +158,12 @@ def decode_only_batch(paths, max_workers: int | None = None):
     def fn(p):
         out = decode_only(p)
         if out is None:
-            ch, sr = audio_io.read_wav(p)
+            try:
+                ch, sr = audio_io.read_wav(p)
+            except (ValueError, OSError) as e:
+                # surfaced from a worker thread: without the filename a
+                # single bad file in a 256-file chunk is hard to identify
+                raise ValueError(f"cannot decode audio file {p!r}: {e}")
             mono = ch.mean(axis=0) if ch.shape[0] > 1 else ch[0]
             return mono, sr
         return out
@@ -188,7 +193,9 @@ def decode_resample_batch(
             if out is None:
                 try:
                     return numpy_path(p)
-                except ValueError as e:
+                except (ValueError, OSError) as e:
+                    # OSError too: a moved artifact dir raises
+                    # FileNotFoundError, which must also name the file
                     raise ValueError(f"cannot decode audio file {p!r}: {e}")
             return out
 
