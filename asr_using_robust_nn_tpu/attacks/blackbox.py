@@ -126,7 +126,15 @@ def noisy_waves(
     non-zero consistently — `fused_audio_sweep` pins the branch with a
     static `kind` instead)."""
     def _on(v):
-        return v is not None and not (isinstance(v, float) and v == 0.0)
+        # any STATIC numeric zero means off — int 0 and numpy scalar zeros
+        # included (p=0 passed as an int used to slip into the mixture
+        # branch); traced jax scalars are none of these types and always
+        # pin the branch on
+        import numbers
+
+        return v is not None and not (
+            isinstance(v, numbers.Number) and float(v) == 0.0
+        )
 
     waves = jnp.asarray(waves, jnp.float32)
     if _on(sigma):

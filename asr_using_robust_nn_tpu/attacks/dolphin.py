@@ -28,14 +28,28 @@ def dolphin_attack(
     carrier_leak: float = 0.001,
 ) -> tuple[np.ndarray, int]:
     """Voice waveform -> ultrasound attack waveform at ultra_rate."""
-    from scipy.signal import butter, lfilter
+    from scipy.signal import butter, sosfilt
 
-    b, a = butter(
+    if sample_rate <= 2 * band[1]:
+        raise ValueError(
+            f"sample_rate={sample_rate} cannot represent the "
+            f"{band[1]:.0f} Hz band edge (needs > {2 * band[1]:.0f} Hz)"
+        )
+    # The MATLAB script designs the order-10 bandpass in transfer-function
+    # b,a form (:28) and runs `filter(b,a,...)`. That 20th-order polynomial
+    # is numerically UNSTABLE in double precision at every common sample
+    # rate (poles land outside the unit circle from coefficient rounding;
+    # measured: 1.15e20 blow-up at 16 kHz, NaN at 44.1/48 kHz — MATLAB's
+    # own butter docs warn against TF form beyond order ~4). Realize the
+    # SAME filter as second-order sections instead: identical transfer
+    # function, stable evaluation (docs/PARITY.md #16).
+    sos = butter(
         order,
         [2 * band[0] / sample_rate, 2 * band[1] / sample_rate],
         btype="bandpass",
+        output="sos",
     )
-    filtered = lfilter(b, a, np.asarray(voice, dtype=np.float64))
+    filtered = sosfilt(sos, np.asarray(voice, dtype=np.float64))
 
     resampled = audio_io.resample(
         filtered.astype(np.float32), sample_rate, ultra_rate

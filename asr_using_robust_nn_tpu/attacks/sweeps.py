@@ -319,11 +319,23 @@ def whitebox_sweep(
     attack uses ITS model's own predictions as labels. 'true' uses the
     ground-truth labels (stronger attack, no label leaking). Reported
     accuracy is always measured against the true labels.
+
+    Exception: JSMA is a TARGETED attack — in the reference's untargeted
+    usage ART draws RANDOM targets per sample, which `whitebox.jsma`
+    reproduces internally. label_source therefore does not apply to jsma
+    (passing the true labels as targets would aim the attack AT the correct
+    class); requesting 'true' with jsma raises rather than silently running
+    the default.
     """
     import jax.numpy as jnp
 
     x = jnp.asarray(test_features, jnp.float32)
     y = jnp.asarray(labels, jnp.int32)
+    if attack == "jsma" and label_source == "true":
+        raise ValueError(
+            "label_source='true' does not apply to jsma (targeted attack "
+            "with ART's random-target untargeted semantics)"
+        )
     if attack == "jsma" and max_samples is None:
         max_samples = 100
     if max_samples is not None:

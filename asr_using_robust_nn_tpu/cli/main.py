@@ -34,8 +34,8 @@ def _add_prepare(sub):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "xla", "int8", "hopdft", "hopdft_int8",
-                            "pallas", "pallas_int8"])
+                   choices=["auto", "xla", "fft", "int8", "hopdft",
+                            "hopdft_int8", "pallas", "pallas_int8"])
 
 
 def _add_train(sub):

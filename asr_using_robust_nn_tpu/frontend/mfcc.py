@@ -48,7 +48,7 @@ from ..ops.mfcc_hopdft import (
     validate_hopdft,
 )
 from ..ops.mfcc_int8 import mfcc_int8_batch
-from ..ops.mfcc_xla import FrontendConfig, mfcc_xla_batch
+from ..ops.mfcc_xla import FrontendConfig, mfcc_fft_batch, mfcc_xla_batch
 from ..ops.pallas_mfcc import (
     mfcc_pallas_batch,
     mfcc_pallas_bf16x3_batch,
@@ -79,6 +79,7 @@ class Frontend:
 
     _BACKENDS = {
         "xla": mfcc_xla_batch,
+        "fft": mfcc_fft_batch,
         "int8": mfcc_int8_batch,
         "hopdft": mfcc_hopdft_batch,
         "hopdft_int8": mfcc_hopdft_int8_batch,

@@ -25,13 +25,17 @@ from . import filters
 __all__ = ["mfcc_ref", "power_to_db_ref", "stft_power_ref", "num_frames"]
 
 
-def num_frames(n_samples: int, hop_length: int, n_fft: int = 2048) -> int:
+def num_frames(n_samples, hop_length: int, n_fft: int = 2048):
     """Frame count of a centered STFT: 1 + (n + 2*(n_fft//2) - n_fft) // hop.
 
     Equals 1 + n//hop for even n_fft, but for ODD n_fft (speaker preset,
     n_fft=441) the center pad is n_fft-1 total, so lengths divisible by hop
     produce one frame FEWER — matching librosa exactly (verified against
-    stft_power_ref)."""
+    stft_power_ref).
+
+    THE single copy of this formula: FrontendConfig.num_frames and the
+    per-utterance valid-frame mask both delegate here (`n_samples` may be
+    an int or an integer array — the arithmetic is pure floor-div)."""
     return 1 + (n_samples + 2 * (n_fft // 2) - n_fft) // hop_length
 
 

@@ -49,8 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import filters
-from .mfcc_int8 import KEEP_PAIRS, _const_digits, _wave_digits
+from .mfcc_int8 import _const_digits, _wave_digits, digit_sum_groups
 from .mfcc_xla import FrontendConfig, _dft_precision, _finish_mfcc
 
 __all__ = [
@@ -231,31 +230,13 @@ def mfcc_hopdft_int8_batch(
     y_digits, f = _wave_digits(ypad)
     blocks_d = [_blocks(d, cfg, n_frames) for d in y_digits]
 
-    groups: dict[int, list[tuple[int, int]]] = {}
-    for i, j in KEEP_PAIRS:
-        groups.setdefault(i + j, []).append((i, j))
-    from .mfcc_int8 import _X_SCALES
-
-    # Per digit-sum group: int8 matmul -> EXACT int32 partials -> EXACT
-    # int32 phase combine (the Hann-adjacent cancelation happens here in
-    # integer arithmetic; <= r * 3 * 64*64*hop < 2^27, no overflow) ->
-    # f32 scale+sum across groups (3 rounded adds, as in the direct path).
+    # Per digit-sum group (shared machinery: mfcc_int8.digit_sum_groups):
+    # int8 matmul -> EXACT int32 partials -> EXACT int32 phase combine (the
+    # Hann-adjacent cancelation happens here in integer arithmetic;
+    # <= r * 3 * 64*64*hop < 2^27, no overflow) -> f32 scale+sum across
+    # groups (3 rounded adds, as in the direct path).
     xre = xim = None
-    for k in sorted(groups, reverse=True):
-        pairs = groups[k]
-        lhs = (blocks_d[pairs[0][0]] if len(pairs) == 1 else
-               jnp.concatenate([blocks_d[i] for i, _ in pairs], axis=2))
-        rhs = np.concatenate([c_digits[j][0] for _, j in pairs], axis=0)
-        p = jax.lax.dot_general(
-            lhs,
-            jnp.asarray(rhs),
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        w = _X_SCALES[pairs[0][0]] * c_digits[pairs[0][1]][1]
-        assert all(
-            _X_SCALES[i] * c_digits[j][1] == w for i, j in pairs
-        ), "digit-sum groups must share one exact power-of-two weight"
+    for p, w in digit_sum_groups(blocks_d, c_digits):
         gre, gim = _combine_phase(
             p[..., : cfg.n_freq], p[..., cfg.n_freq:], cfg, n_frames
         )

@@ -48,7 +48,7 @@ import numpy as np
 
 from .mfcc_xla import FrontendConfig, _finish_mfcc, frame_signal
 
-__all__ = ["mfcc_int8_batch", "KEEP_PAIRS"]
+__all__ = ["mfcc_int8_batch", "KEEP_PAIRS", "digit_sum_groups"]
 
 # digit-product pairs kept, in increasing weight order (summed small->large)
 KEEP_PAIRS = ((0, 2), (2, 0), (1, 1), (0, 1), (1, 0), (0, 0))
@@ -92,6 +92,43 @@ def _wave_digits(y: jnp.ndarray) -> tuple[list[jnp.ndarray], jnp.ndarray]:
     return digits, f[:, 0]
 
 
+def digit_sum_groups(lhs_digits, c_digits):
+    """Yield (int32 partials, exact weight) per digit-sum group, SMALLEST
+    weight first.
+
+    The digit-pair weight 2^(-6-7i) * s_e*2^(-7j) depends only on i+j, so
+    KEEP_PAIRS group by digit-sum k into ONE int8 matmul each (polynomial-
+    multiplication structure): sum_{i+j=k} d_i @ e_j = [d_i...] @ [e_j...]
+    concatenated along the contraction axis — same FLOPs, 3 dispatches
+    instead of 6, larger (more MXU-efficient) K. int32 accumulation stays
+    exact: <= 3 * 64*64*K_contraction < 2^25 per entry. Iterating smallest
+    weight first keeps the caller's f32 combine tight.
+
+    THE single copy of the grouping/ordering/shared-weight machinery —
+    used by both the direct framed path (mfcc_int8_batch, lhs = framed
+    digit signals (B, F, n_fft)) and the hop-block path
+    (ops/mfcc_hopdft.py, lhs = digit blocks (B, n_blocks, hop))."""
+    groups: dict[int, list[tuple[int, int]]] = {}
+    for i, j in KEEP_PAIRS:
+        groups.setdefault(i + j, []).append((i, j))
+    for k in sorted(groups, reverse=True):
+        pairs = groups[k]
+        lhs = (lhs_digits[pairs[0][0]] if len(pairs) == 1 else
+               jnp.concatenate([lhs_digits[i] for i, _ in pairs], axis=2))
+        rhs = np.concatenate([c_digits[j][0] for _, j in pairs], axis=0)
+        p = jax.lax.dot_general(
+            lhs,
+            jnp.asarray(rhs),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        w = _X_SCALES[pairs[0][0]] * c_digits[pairs[0][1]][1]
+        assert all(
+            _X_SCALES[i] * c_digits[j][1] == w for i, j in pairs
+        ), "digit-sum groups must share one exact power-of-two weight"
+        yield p, w
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def mfcc_int8_batch(
     waves: jnp.ndarray,
@@ -124,32 +161,8 @@ def mfcc_int8_batch(
         for d in y_digits
     ]
 
-    # The digit-pair weight 2^(-6-7i) * s_e*2^(-7j) depends only on i+j, so
-    # pairs group by digit-sum k into ONE int8 matmul each (polynomial-
-    # multiplication structure): sum_{i+j=k} d_i @ e_j =
-    # [d_i...] @ [e_j...] concatenated along the contraction axis — same
-    # FLOPs, 3 dispatches instead of 6, larger (more MXU-efficient) K.
-    # int32 accumulation stays exact: <= 3 * 64*64*n_fft < 2^25 per entry.
-    # Groups sum smallest weight first so the f32 combine stays tight.
-    groups: dict[int, list[tuple[int, int]]] = {}
-    for i, j in KEEP_PAIRS:
-        groups.setdefault(i + j, []).append((i, j))
     acc = None
-    for k in sorted(groups, reverse=True):
-        pairs = groups[k]
-        lhs = (frames_d[pairs[0][0]] if len(pairs) == 1 else
-               jnp.concatenate([frames_d[i] for i, _ in pairs], axis=2))
-        rhs = np.concatenate([c_digits[j][0] for _, j in pairs], axis=0)
-        p = jax.lax.dot_general(
-            lhs,
-            jnp.asarray(rhs),
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        w = _X_SCALES[pairs[0][0]] * c_digits[pairs[0][1]][1]
-        assert all(
-            _X_SCALES[i] * c_digits[j][1] == w for i, j in pairs
-        ), "digit-sum groups must share one exact power-of-two weight"
+    for p, w in digit_sum_groups(frames_d, c_digits):
         term = p.astype(jnp.float32) * jnp.float32(w)
         acc = term if acc is None else acc + term
 

@@ -27,7 +27,8 @@ import numpy as np
 
 from . import filters
 
-__all__ = ["FrontendConfig", "frame_signal", "mfcc_xla_batch"]
+__all__ = ["FrontendConfig", "frame_signal", "mfcc_xla_batch",
+           "mfcc_fft_batch"]
 
 
 def _rdft_power_split(
@@ -182,10 +183,11 @@ class FrontendConfig:
         return self.n_mfcc * self.utterance_length
 
     def num_frames(self, n_samples: int) -> int:
-        """librosa-exact centered frame count (see frontend_ref.num_frames)."""
-        return 1 + (
-            n_samples + 2 * (self.n_fft // 2) - self.n_fft
-        ) // self.hop_length
+        """librosa-exact centered frame count — delegates to the ONE copy
+        of the (odd-n_fft-aware) formula in frontend_ref.num_frames."""
+        from .frontend_ref import num_frames
+
+        return num_frames(n_samples, self.hop_length, self.n_fft)
 
     def constants(self, dtype=np.float32):
         """(Cr, Ci, MelW^T, Dct^T) as numpy constants for kernel folding."""
@@ -241,10 +243,10 @@ def _valid_frames_mask(cfg, lengths, b, n_frames):
     librosa-exact frame-count formula (odd-n_fft aware)."""
     if lengths is None:
         return jnp.ones((b, n_frames), dtype=bool)
+    from .frontend_ref import num_frames
+
     frame_ids = jnp.arange(n_frames)[None, :]
-    true_frames = 1 + (
-        lengths[:, None] + 2 * (cfg.n_fft // 2) - cfg.n_fft
-    ) // cfg.hop_length
+    true_frames = num_frames(lengths[:, None], cfg.hop_length, cfg.n_fft)
     return frame_ids < true_frames
 
 

@@ -271,6 +271,31 @@ class TestDolphin:
         base = freqs < 8_000
         assert spec[band].sum() > 10 * spec[base].sum()
 
+    def test_stable_at_common_rates(self):
+        """Round-3 review: the MATLAB script's b,a-form order-10 bandpass
+        is numerically unstable (1e20 blow-up at 16 kHz, NaN at 44.1 kHz);
+        the SOS realization must stay finite and keep the voice energy at
+        the carrier, not in an unstable-pole oscillation."""
+        for sr in (16000, 22050, 44100, 48000):
+            t = np.arange(sr) / sr
+            voice = (0.5 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+            ultra, rate = dolphin.dolphin_attack(voice, sr)
+            assert np.isfinite(ultra).all(), sr
+            spec = np.abs(np.fft.rfft(ultra.astype(np.float64)))
+            freqs = np.fft.rfftfreq(len(ultra), 1 / rate)
+            # modulated 500 Hz tone -> sidebands at 30 kHz +/- 500 Hz
+            side = (np.abs(freqs - 29_500) < 100) | (
+                np.abs(freqs - 30_500) < 100)
+            rest = (freqs > 1_000) & (freqs < 28_000)
+            # the 27 kHz-wide rest band accumulates broadband resampler
+            # leakage; 3x is comfortably above the unstable-filter failure
+            # mode (where rest DOMINATES side by orders of magnitude)
+            assert spec[side].sum() > 3 * spec[rest].sum(), sr
+
+    def test_band_edge_beyond_nyquist_rejected(self):
+        with pytest.raises(ValueError, match="band edge"):
+            dolphin.dolphin_attack(np.zeros(8000, np.float32), 8000)
+
     def test_file_roundtrip(self, tmp_path):
         from asr_using_robust_nn_tpu.utils import audio_io
 
