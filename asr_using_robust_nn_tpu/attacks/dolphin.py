@@ -42,7 +42,7 @@ def dolphin_attack(
     # measured: 1.15e20 blow-up at 16 kHz, NaN at 44.1/48 kHz — MATLAB's
     # own butter docs warn against TF form beyond order ~4). Realize the
     # SAME filter as second-order sections instead: identical transfer
-    # function, stable evaluation (docs/PARITY.md #16).
+    # function, stable evaluation (docs/PARITY.md #15).
     sos = butter(
         order,
         [2 * band[0] / sample_rate, 2 * band[1] / sample_rate],
