@@ -226,8 +226,6 @@ def measure_tpu(quick: bool = False) -> dict:
     y = jax.device_put(rng.integers(0, 10, bs).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
-    import jax as _jax
-
     def measure_train_step(cfg):
         params, state = init_mlp(cfg, jax.random.PRNGKey(0))
         trainer = Trainer(cfg, trainer_cfg, constraint=con.apply,
@@ -236,23 +234,23 @@ def measure_tpu(quick: bool = False) -> dict:
         cstate = con.init(params)
         step = trainer.train_step
 
-        @_jax.jit
+        @jax.jit
         def train_chain(params, state, opt_state, cstate, x):
             def body(i, carry):
                 params, state, opt_state, cstate, x = carry
-                k = _jax.random.fold_in(key, i)
+                k = jax.random.fold_in(key, i)
                 params, state, opt_state, cstate, loss, acc = step(
                     params, state, opt_state, cstate, x, y, k
                 )
                 return (params, state, opt_state, cstate, x + 1e-20 * loss)
 
-            out = _jax.lax.fori_loop(
+            out = jax.lax.fori_loop(
                 0, n_iter_train, body, (params, state, opt_state, cstate, x)
             )
             # 4-float probe over every updated tensor, computed in-graph so
             # the host fetch moves 16 bytes, not a weight matrix
             probe = sum(jnp.sum(l).astype(jnp.float32)
-                        for l in _jax.tree.leaves((out[0], out[1])))
+                        for l in jax.tree.leaves((out[0], out[1])))
             return out[0], out[1], jnp.ravel(out[4])[:4] + probe
 
         p2, s2, pr = train_chain(params, state, opt_state, cstate, x)
@@ -329,13 +327,28 @@ def measure_tpu(quick: bool = False) -> dict:
                     else "hopdft_int8" if t_mfcc == t_hop8
                     else "hopdft" if t_mfcc == t_hop
                     else "int8" if t_mfcc == t_int8 else "xla")
-    fe_flop_model = (frontend_hopdft_flops_per_utt
-                     if "hopdft" in mfcc_backend else frontend_flops_per_utt)
-    fe_flops = fe_flop_model(cfg) * mfcc_utts_per_s
-    sp_flops = frontend_flops_per_utt(scfg) * speaker_utts_per_s
+    # Two distinct utilization views (round-3 review):
+    #  - mfu_vs_peak: USEFUL work vs the bf16 peak, with the direct-DFT
+    #    analytic model as the common yardstick for every digit backend
+    #    (flash-attention-style accounting: an algorithm that needs fewer
+    #    FLOPs for the same output gets credit). This is the standard MFU
+    #    definition.
+    #  - mxu_occupancy: ops the kernel actually EXECUTES vs the peak of the
+    #    unit it runs on (int8 peak = 2x bf16). precision=highest and the
+    #    bf16_x6/x3 DotAlgorithms run 6x/3x bf16 passes per logical GEMM;
+    #    the int8 digit decomposition runs 6 digit GEMMs per logical GEMM.
+    fe_model = frontend_flops_per_utt(cfg)
+    fe_exec_base = (frontend_hopdft_flops_per_utt(cfg)
+                    if "hopdft" in mfcc_backend else fe_model)
+    fe_exec_mult = 6.0  # highest(X6)/int8 digit pairs — every digit winner
+    fe_rate = 2.0 if "int8" in mfcc_backend else 1.0
+    sp_model = frontend_flops_per_utt(scfg)
+    sp_exec_mult = {"xla_bf16x6": 6.0, "xla_bf16x3": 3.0,
+                    "pallas_bf16x3": 3.0}.get(speaker_backend, 6.0)
+    fe_flops = fe_model * mfcc_utts_per_s
+    sp_flops = sp_model * speaker_utts_per_s
     tr_flops = train_step_flops_per_utt(mcfg) * train_utts_per_s
     ep_flops = train_step_flops_per_utt(mcfg) * n_true / t_epoch
-    fe_peak_scale = 2.0 if "int8" in mfcc_backend else 1.0
     return {
         "mfcc_utts_per_s": mfcc_utts_per_s,
         "mfcc_backend": mfcc_backend,
@@ -361,13 +374,28 @@ def measure_tpu(quick: bool = False) -> dict:
         },
         "mfu_vs_peak": (
             {
-                "frontend_digit": fe_flops / (peak * fe_peak_scale),
-                "frontend_digit_peak": peak * fe_peak_scale,
+                # useful-work MFU: direct-DFT model FLOPs vs bf16 peak —
+                # the common yardstick across digit backends
+                "frontend_digit": fe_flops / peak,
                 "frontend_speaker": sp_flops / peak,
                 "train_step": tr_flops / peak,
                 "fused_epoch": ep_flops / peak,
                 "peak_flops_bf16": peak,
                 "device_kind": jax.devices()[0].device_kind,
+            }
+            if peak
+            else None
+        ),
+        "mxu_occupancy": (
+            {
+                # executed ops vs the rate-adjusted peak of the unit the
+                # kernel runs on (X6/X3 emulation passes and int8 digit
+                # GEMMs counted; int8 peak = 2x bf16)
+                "frontend_digit": (fe_exec_base * fe_exec_mult
+                                   * mfcc_utts_per_s) / (peak * fe_rate),
+                "frontend_digit_peak": peak * fe_rate,
+                "frontend_speaker": (sp_model * sp_exec_mult
+                                     * speaker_utts_per_s) / peak,
             }
             if peak
             else None
@@ -408,9 +436,15 @@ def _backend_reachable(timeout_s: float) -> bool:
 
 
 def main(quick: bool = False) -> int:
-    deadline = time.monotonic() + (120 if quick else 900)
+    # deadline strictly exceeds one wait window so a slow-but-successful
+    # init (observed ~2 min through the tunnel) gets a second chance; after
+    # the deadline do one final short recheck — the init thread may have
+    # completed just after the last wait expired (the backend is process-
+    # cached once any thread finishes)
+    deadline = time.monotonic() + (300 if quick else 900)
     while not _backend_reachable(timeout_s=120):
-        if time.monotonic() >= deadline:
+        if time.monotonic() >= deadline and not _backend_reachable(
+                timeout_s=5):
             print(json.dumps({
                 "metric": "MFCC+train+FGSM pipeline throughput",
                 "value": None,

@@ -22,11 +22,17 @@ $CLI train --config configs/digit_constrained.json \
     --data processed_google_dataset/ --ckpt runs/digit_constrained \
     --metrics-dir logs/digit_c --monitor-lipschitz
 
-# robustness curves (the thesis's attack matrix, attacks.py:2-12)
+# robustness curves (the thesis's attack matrix, attacks.py:2-12).
+# --standardize after = the reference's 'A' branch: attacks run on RAW
+# dB-scale MFCCs and standardization happens before prediction — the branch
+# whose grids the defaults encode (mfcc sigmas 0-100, pgd/fgsm eps 1-30;
+# attacks.py:320,497-499,648). '--standardize before' pairs with the
+# 0.01-0.3 fgsm grid automatically but leaves the raw-unit mfcc/pgd grids
+# saturated on unit-variance features.
 for atk in white_mfcc mixture_mfcc white_audio mixture_audio snr_audio fgsm pgd jsma cw_l2 cw_linf; do
   $CLI attack --type "$atk" --task digit --data processed_google_dataset/ \
       --constrained runs/digit_constrained --unconstrained runs/digit_unconstrained \
-      --standardize before --out "curves/digit_${atk}.json" --plot "curves/digit_${atk}.png"
+      --standardize after --out "curves/digit_${atk}.json" --plot "curves/digit_${atk}.png"
 done
 
 # ---- Speaker recognition ----------------------------------------------------
@@ -40,7 +46,7 @@ $CLI train --config configs/speaker_constrained.json \
 for atk in white_mfcc mixture_mfcc white_audio mixture_audio snr_audio fgsm pgd; do
   $CLI attack --type "$atk" --task speaker --data RoDigits_splitV2/ \
       --constrained runs/speaker_constrained --unconstrained runs/speaker_unconstrained \
-      --standardize before --out "curves/speaker_${atk}.json" --plot "curves/speaker_${atk}.png"
+      --standardize after --out "curves/speaker_${atk}.json" --plot "curves/speaker_${atk}.png"
 done
 
 # ---- Dolphin (ultrasound) attack WAV ----------------------------------------

@@ -136,7 +136,12 @@ def main():
         masked = logits.copy()
         masked[np.arange(len(te)), splits.test_label] = -np.inf
         margin = z_true - masked.max(axis=1)
-        med_margin = float(np.median(margin[margin > 0])) if (margin > 0).any() else 0.0
+        # median over ALL test rows (misclassified rows contribute negative
+        # margins) — the same metric as robustness_study_speaker.py and
+        # hardness_sweep.py so the three studies' numbers are commensurable.
+        # Archived docs/results_synthetic grids predate this alignment and
+        # used the median over POSITIVE margins only (upward-biased).
+        med_margin = float(np.median(margin))
         cert_radius = med_margin / (2.0 * lip) if lip > 0 else float("inf")
         print(f"{name}: {time.time()-t0:.1f}s, clean acc {acc:.3f}, "
               f"Lipschitz {lip:.3f} (naive upper {upper:.2f}), "

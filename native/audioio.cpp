@@ -21,7 +21,8 @@
 namespace {
 
 struct WavData {
-  std::vector<float> mono;  // mixed down, [-1, 1]
+  std::vector<float> mono;  // mixed down, [-1, 1] (empty on header-only)
+  size_t n_frames = 0;      // mono frame count, valid on every parse
   int sample_rate = 0;
 };
 
@@ -67,9 +68,9 @@ int parse_wav(const uint8_t* data, size_t len, WavData* out,
   if (bytes_per == 0) return -3;
   size_t n_frames = raw_len / (bytes_per * n_channels);
   out->sample_rate = sample_rate;
+  out->n_frames = n_frames;
   if (!decode_samples) {
-    out->mono.resize(n_frames);  // size only; caller reads .size()
-    return 0;
+    return 0;  // header-only: no O(n) allocation just to carry a count
   }
   out->mono.assign(n_frames, 0.0f);
   const float inv_ch = 1.0f / (float)n_channels;
@@ -145,7 +146,7 @@ int asr_wav_info(const char* path, int* sample_rate, int64_t* n_samples) {
   int rc = parse_wav(buf.data(), buf.size(), &w, /*decode_samples=*/false);
   if (rc != 0) return rc;
   *sample_rate = w.sample_rate;
-  *n_samples = (int64_t)w.mono.size();
+  *n_samples = (int64_t)w.n_frames;
   return 0;
 }
 
