@@ -254,7 +254,13 @@ class Trainer:
 
         best_val = np.inf if initial_best_val is None else float(
             initial_best_val)
-        best = None
+        # seeded resume: the warm-start params ARE the current best (the
+        # checkpoint's best-val weights). Snapshot them so a resume whose
+        # epochs never beat the seed returns THOSE as best_params instead
+        # of the final (worse) params paired with the seeded loss.
+        best = (None if initial_best_val is None else
+                (jax.tree.map(np.asarray, params),
+                 jax.tree.map(np.asarray, state)))
         wait = 0
         history = {"loss": [], "acc": [], "val_loss": [], "val_acc": []}
         ckpt = None

@@ -161,6 +161,50 @@ class TestCLI:
         meta1 = json.loads((ck / "meta.json").read_text())
         assert meta1["val_loss"] <= meta0["val_loss"] + 1e-9
 
+    def test_resume_without_checkpoint_errors(self, artifacts, corpus):
+        """--resume at a ckpt dir with no 'best' must return 2, not
+        silently train from scratch (round-3 review)."""
+        rc = main([
+            "train", "--task", "digit", "--variant", "unconstrained",
+            "--data", str(artifacts), "--ckpt", str(corpus / "no_such_ck"),
+            "--resume", "--epochs", "1",
+        ])
+        assert rc == 2
+
+    def test_prepare_empty_corpus_leaves_no_artifacts(self, tmp_path):
+        """A wrong-layout corpus dir must fail BEFORE writing zero-row
+        artifacts that would pass cmd_train's exists-check."""
+        bad = tmp_path / "bad"
+        (bad / "not_a_class").mkdir(parents=True)
+        out = tmp_path / "out"
+        rc = main(["prepare-data", "--task", "digit",
+                   "--data-dir", str(bad), "--out-dir", str(out)])
+        assert rc == 2
+        assert not (out / "train_data.npy").exists()
+
+    def test_fgsm_raw_grid_when_standardize_after(self, artifacts,
+                                                  trained_pair, capsys,
+                                                  tmp_path):
+        """--standardize after must select the raw-dB eps grid 1-30 (50
+        points), not the standardized 0.01-0.3 grid (reference
+        attacks.py:497-499; round-3 name-swap fix)."""
+        import json as _json
+
+        cu, cc = trained_pair
+        out = tmp_path / "fgsm_raw.json"
+        rc = main([
+            "attack", "--type", "fgsm", "--task", "digit",
+            "--data", str(artifacts),
+            "--constrained", str(cc), "--unconstrained", str(cu),
+            "--standardize", "after", "--out", str(out),
+        ])
+        assert rc == 0
+        curve = _json.loads(out.read_text())
+        strengths = curve["strengths"]
+        assert len(strengths) == 50
+        assert abs(strengths[0] - 1.0) < 1e-9
+        assert abs(strengths[-1] - 30.0) < 1e-9
+
     def test_missing_subcommand_errors(self):
         with pytest.raises(SystemExit):
             main([])

@@ -274,6 +274,19 @@ class TestHopDftVariant:
                 hop_length=cfg.hop_length, win_length=cfg.win_length,
             )
             np.testing.assert_allclose(got[i], want, atol=1e-3, rtol=1e-4)
+        # discriminate that the override is actually APPLIED (parity alone
+        # can't tell — ignoring it makes parity BETTER, and the CPU backend
+        # computes X6 bit-identically to highest): the lowered IR must
+        # carry the 6-primitive bf16 DotAlgorithm on the block DFT
+        import jax
+
+        txt = jax.jit(lambda w: mfcc_hopdft_batch(w, cfg)).lower(
+            waves[:1]).as_text()
+        assert ("precision_type = bf16" in txt
+                and "num_primitive_operations = 6" in txt), "X6 not applied"
+        txt0 = jax.jit(lambda w: mfcc_hopdft_batch(w, DIGIT)).lower(
+            waves[:1]).as_text()
+        assert "num_primitive_operations" not in txt0
 
     def test_lengths_masking_matches_xla(self, rng):
         from asr_using_robust_nn_tpu.ops.mfcc_hopdft import (
@@ -287,6 +300,11 @@ class TestHopDftVariant:
         for fn in (mfcc_hopdft_batch, mfcc_hopdft_int8_batch):
             got = np.asarray(fn(waves, DIGIT, lengths=lengths))
             np.testing.assert_allclose(got, want, atol=1e-3)
+            # break the shared-_finish_mfcc echo: one truncated row checked
+            # against the INDEPENDENT f64 oracle on the unpadded signal
+            ref = frontend_ref.mfcc_fixed_length_ref(
+                waves[1, :11025].astype(np.float64), DIGIT.utterance_length)
+            np.testing.assert_allclose(got[1], ref, atol=1e-3)
 
     def test_silent_input(self):
         from asr_using_robust_nn_tpu.ops.mfcc_hopdft import (
@@ -368,6 +386,10 @@ class TestHopDftVariant:
         e_hop8 = maxerr(mfcc_hopdft_int8_batch)
         e_dir8 = maxerr(mfcc_int8_batch)
         assert e_hop8 <= e_dir8 * 1.2 + 1e-4, (e_hop8, e_dir8)
+        # absolute ceiling too (the relative bound alone would inflate
+        # silently if the direct path itself regressed): PARITY.md records
+        # ~3.4e-3 worst-case for this input class
+        assert e_hop8 < 5e-3 and e_dir8 < 5e-3, (e_hop8, e_dir8)
 
     def test_dispatcher_exposes_and_gates(self, rng):
         from asr_using_robust_nn_tpu.frontend.mfcc import Frontend

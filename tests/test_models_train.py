@@ -214,7 +214,7 @@ class TestTrainer:
         best0 = meta0["val_loss"]
         assert abs(best0 - res["best_val_loss"]) < 1e-6
         # resume exactly as the CLI does: warm params/state/opt_state +
-        # stored best val seed, 1 epoch (almost surely worse than best0)
+        # stored best val seed, 1 epoch
         tr2 = Trainer(cfg, TrainConfig(batch_size=32, epochs=1,
                                        patience=100))
         ex_p, ex_s, ex_o, _ = tr2._init_train_state(jax.random.PRNGKey(0))
@@ -230,6 +230,24 @@ class TestTrainer:
         # the stored best only improves (or stays) across the resume
         assert meta2["val_loss"] <= best0 + 1e-9
         assert res2["best_val_loss"] <= best0 + 1e-9
+        # NON-VACUOUS variant (the resumed epoch above may legitimately
+        # improve): seed an unbeatable best — the saved checkpoint and the
+        # returned best_params must be the WARM-START weights untouched,
+        # not the final post-epoch params paired with the seeded loss
+        tree3, _ = mgr.load_best(example)
+        w0 = np.asarray(tree3["params"]["layers"][0]["w"]).copy()
+        tr3 = Trainer(cfg, TrainConfig(batch_size=32, epochs=1,
+                                       patience=100))
+        res3 = tr3.fit(x[:96], y[:96], x[96:], y[96:],
+                       params=tree3["params"], state=tree3["state"],
+                       opt_state=tree3["opt_state"],
+                       initial_best_val=0.0,
+                       checkpoint_dir=tmp_path / "ck")
+        assert res3["best_val_loss"] == 0.0
+        np.testing.assert_array_equal(
+            np.asarray(res3["best_params"]["layers"][0]["w"]), w0)
+        _, meta3 = mgr.load_best()
+        assert meta3["val_loss"] == meta2["val_loss"]  # never overwritten
 
     def test_fit_rejects_empty_validation(self, rng):
         x, y = synthetic_task(rng, n=64)
