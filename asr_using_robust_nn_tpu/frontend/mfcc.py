@@ -9,6 +9,11 @@ backend='auto' resolves per preset from v5e measurements (RTT-subtracted,
 cache/DCE-proof, 1024 utterances, parity vs the f64 oracle in parens):
 
     digit (n_fft=2048):  int8 digit-decomposition   9.6 ms (4.4e-4)  <- auto
+                         hopdft_int8 / hopdft       measured-on-TPU PENDING
+                           (round-3 addition: ~4x fewer DFT MACs + no 4x
+                            framing expansion; auto stays on the last
+                            MEASURED winner until the next TPU window —
+                            bench.py times all five and reports the best)
                          pallas-int8 fused         13.0 ms (4.4e-4)
                          xla precision=HIGHEST     13.5 ms (4.5e-4)
                          pallas f32 HIGHEST        19.6 ms (4.5e-4)
