@@ -6,21 +6,25 @@ Usage:
     flat = fe.flat(waves)                          # (B, 880) reference layout
 
 backend='auto' resolves per preset from v5e measurements (RTT-subtracted,
-cache/DCE-proof, 1024 utterances, parity vs the f64 oracle in parens):
+cache/DCE-proof, 1024 utterances, parity vs the f64 oracle in parens;
+2026-08-18 TPU window):
 
-    digit (n_fft=2048):  int8 digit-decomposition   9.6 ms (4.4e-4)  <- auto
-                         hopdft_int8 / hopdft       measured-on-TPU PENDING
-                           (round-3 addition: ~4x fewer DFT MACs + no 4x
-                            framing expansion; auto stays on the last
-                            MEASURED winner until the next TPU window —
-                            bench.py times all five and reports the best)
+    digit (n_fft=2048):  int8 digit-decomposition   9.0 ms (4.8e-4)  <- auto
+                         hopdft bf16_x3            10.1 ms (1.1e-3)
+                         hopdft bf16_x6            11.5 ms (4.7e-4)
+                         hopdft f32 HIGHEST        12.0 ms (4.7e-4)
                          pallas-int8 fused         13.0 ms (4.4e-4)
-                         xla precision=HIGHEST     13.5 ms (4.5e-4)
+                         xla precision=HIGHEST     13.6 ms (4.7e-4)
+                         hopdft_int8               17.6 ms (4.8e-4)
+                           (the 4x DFT-MAC cut loses to the 3x-digit-group
+                            int32 phase-combine traffic — measured negative)
                          pallas f32 HIGHEST        19.6 ms (4.5e-4)
-    speaker (n_fft=441): xla bf16_x6 DFT            3.0 ms (4.7e-4)  <- auto
+    speaker (n_fft=441): xla bf16_x6 DFT        2.4-3.0 ms (4.9e-4)  <- auto
                          xla bf16_x3 DFT            2.2 ms (2.4e-3)
                            (speaker_fast() preset — opt-in parity trade)
                          xla precision=HIGHEST      3.2-4.1 ms (4.7e-4)
+                         hopdft bf16_x3             3.6 ms (4.0e-3)
+                         hopdft bf16_x6             4.0 ms (4.9e-4)
                          pallas-int8 fused          4.2 ms
                          int8 digit-decomposition   4.6 ms
                          pallas bf16x3 fused        4.7 ms (1.6e-3)
@@ -28,7 +32,12 @@ cache/DCE-proof, 1024 utterances, parity vs the f64 oracle in parens):
 Speaker stage budget (v5e, B=1024, X6): framing 0.83 ms (pure data
 movement — the hop=220/width=441 overlap concat), DFT+power ~2.1 ms,
 mel+log+DCT ~0.6 ms. The preset is movement+emulation-bound, not
-MXU-bound; bf16_x3 halves the DFT passes and is the practical fast mode.
+MXU-bound — confirmed experimentally by the round-3 hop-block
+generalization (441 = 2*220 + 1 via an s=1 tail matmul): cutting DFT MACs
+2x AND removing the framing expansion made it SLOWER (4.0 vs 2.4 ms),
+because the phase-combine/3-tap-window stages add elementwise HBM traffic
+exactly where the roofline said the bottleneck is. bf16_x3 (fewer DFT
+passes, no extra movement) remains the practical fast mode.
 
 The int8 path (ops/mfcc_int8.py) runs the rDFT as six exact int8 digit
 products fused into three int8 MXU matmuls — the v5e MXU's 2x

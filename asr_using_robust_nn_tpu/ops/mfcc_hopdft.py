@@ -26,12 +26,21 @@ This module removes the redundancy exactly, in two steps:
 
        Xw[k] = 0.5*X[k] - 0.25*X[k-1] - 0.25*X[k+1]
 
-   (Hermitian extension at the k=0 and Nyquist edges for real input).
-   This lets the block DFTs stay unwindowed — a window that straddles
-   blocks can't be folded into the per-block matrix.
+   (Hermitian extension at the edges for real input; the upper edge index
+   depends on n_fft parity — odd n_fft has no Nyquist bin). This lets the
+   block DFTs stay unwindowed — a window that straddles blocks can't be
+   folded into the per-block matrix.
 
-Requires hop | n_fft and win_length == n_fft (the digit preset; the
-speaker preset's 441/220 does not divide and keeps the direct paths).
+Non-dividing hops (round-3 generalization): with n_fft = q*hop + s
+(0 < s < hop), a frame is q full hop-blocks plus the FIRST s samples of
+block f+q. The tail contributes one thin extra matmul — an (s x n_freq)
+DFT with the e^(-2pi*i*k*q*hop/n_fft) phase folded into the constant —
+so the decomposition covers the speaker preset too (441 = 2*220 + 1:
+q=2, s=1, ~2x fewer DFT MACs and zero framing expansion at a shape that
+gets neither the radix-2 split nor the int8 win).
+
+The f32 variant requires only win_length == n_fft and hop <= n_fft; the
+int8 variant additionally needs hop | n_fft with exact unit roots (below).
 
 Two entry points, same contract as mfcc_xla_batch:
 - `mfcc_hopdft_batch` — f32/precision-controlled block matmuls;
@@ -62,20 +71,21 @@ __all__ = [
 
 
 def hopdft_supported(cfg: FrontendConfig) -> bool:
-    """The decomposition needs integral n_fft/hop, a full-frame window
-    (frequency-domain Hann assumes the window is periodic over n_fft), and
-    even n_fft (_window_and_power's Hermitian edge taps assume a real
-    Nyquist bin exists)."""
-    return (cfg.n_fft % cfg.hop_length == 0 and cfg.win_length == cfg.n_fft
-            and cfg.n_fft % 2 == 0)
+    """The f32 decomposition needs a full-frame window (frequency-domain
+    Hann assumes the window is periodic over n_fft) and hop <= n_fft;
+    non-dividing hops are handled by the s-sample tail matmul and odd
+    n_fft by the parity-aware Hermitian edge in _window_and_power."""
+    return cfg.win_length == cfg.n_fft and cfg.hop_length <= cfg.n_fft
 
 
 def hopdft_int8_supported(cfg: FrontendConfig) -> bool:
-    """The int8 variant additionally needs the unit r-th roots to be
-    {0, +-1} (r = n_fft/hop in {1, 2, 4}): its phase combine runs in exact
-    int32, and non-integer cos/sin coefficients would silently truncate on
-    the dtype cast. The f32 variant handles any integral r."""
-    return hopdft_supported(cfg) and cfg.n_fft // cfg.hop_length in (1, 2, 4)
+    """The int8 variant additionally needs hop | n_fft (its exact-int32
+    pipeline has no tail-matmul path) with unit r-th roots in {0, +-1}
+    (r = n_fft/hop in {1, 2, 4}): the phase combine runs in exact int32,
+    and non-integer cos/sin coefficients would silently truncate on the
+    dtype cast. The f32 variant handles any hop <= n_fft."""
+    return (hopdft_supported(cfg) and cfg.n_fft % cfg.hop_length == 0
+            and cfg.n_fft // cfg.hop_length in (1, 2, 4))
 
 
 def validate_hopdft(cfg: FrontendConfig, int8: bool) -> None:
@@ -84,15 +94,15 @@ def validate_hopdft(cfg: FrontendConfig, int8: bool) -> None:
     the decomposition's domain."""
     if not hopdft_supported(cfg):
         raise ValueError(
-            f"hop-block DFT needs hop | n_fft, win == n_fft and even n_fft,"
+            f"hop-block DFT needs win == n_fft and hop <= n_fft,"
             f" got n_fft={cfg.n_fft} hop={cfg.hop_length}"
             f" win={cfg.win_length}; use the 'xla'/'int8' backends"
         )
     if int8 and not hopdft_int8_supported(cfg):
         raise ValueError(
-            f"int8 hop-block combine needs n_fft/hop in {{1,2,4}} (exact "
-            f"integer roots), got {cfg.n_fft // cfg.hop_length}; use "
-            f"mfcc_hopdft_batch (backend='hopdft')"
+            f"int8 hop-block combine needs hop | n_fft with n_fft/hop in "
+            f"{{1,2,4}} (exact integer roots), got n_fft={cfg.n_fft} "
+            f"hop={cfg.hop_length}; use mfcc_hopdft_batch (backend='hopdft')"
         )
 
 
@@ -104,12 +114,27 @@ def _block_dft_constants(cfg: FrontendConfig) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang), -np.sin(ang)
 
 
-def _combine_coeffs(cfg: FrontendConfig) -> tuple[np.ndarray, np.ndarray]:
-    """(r, n_freq) re/im of (W_N^{hop*k})^d = e^(-2pi*i*hop*k*d/n_fft).
+def _tail_dft_constants(cfg: FrontendConfig) -> np.ndarray:
+    """(s, 2*n_freq) [cos | -sin] DFT rows of the s tail samples a frame
+    reads from block f+q, with the e^(-2pi*i*k*(q*hop+m)/n_fft) phase
+    folded into the constant (s = n_fft mod hop; empty when hop | n_fft)."""
+    q, s = divmod(cfg.n_fft, cfg.hop_length)
+    m = q * cfg.hop_length + np.arange(s, dtype=np.float64)
+    k = np.arange(cfg.n_freq, dtype=np.float64)
+    ang = 2.0 * np.pi * m[:, None] * k[None, :] / cfg.n_fft
+    return np.concatenate([np.cos(ang), -np.sin(ang)], axis=1).astype(
+        np.float32
+    )
 
-    For r = n_fft/hop in {1, 2, 4} these are exact {0, +-1} floats (unit
-    r-th roots); for other integral r they are exact cos/sin values — the
-    combine stays a correct linear recombination either way.
+
+def _combine_coeffs(cfg: FrontendConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(q, n_freq) re/im of (W_N^{hop*k})^d = e^(-2pi*i*hop*k*d/n_fft),
+    d < q = n_fft // hop (the full blocks; a non-dividing hop's tail
+    samples are handled separately by _tail_dft_constants).
+
+    For q = n_fft/hop in {1, 2, 4} these are exact {0, +-1} floats (unit
+    roots); otherwise they are exact cos/sin values — the combine stays a
+    correct linear recombination either way.
     """
     r = cfg.n_fft // cfg.hop_length
     d = np.arange(r, dtype=np.float64)
@@ -126,10 +151,14 @@ def _combine_coeffs(cfg: FrontendConfig) -> tuple[np.ndarray, np.ndarray]:
 
 def _blocks(ypad: jnp.ndarray, cfg: FrontendConfig, n_frames: int):
     """(B, L) padded audio -> (B, n_blocks, hop) non-overlapping blocks
-    covering every frame (truncates the sub-block tail no frame reads)."""
-    r = cfg.n_fft // cfg.hop_length
-    n_blocks = n_frames + r - 1
-    need = n_blocks * cfg.hop_length  # == hop*(n_frames-1) + n_fft
+    covering every frame (truncates the sub-block tail no frame reads;
+    zero-extends when the last frame's tail block runs past the centered
+    pad — frames only read its first s samples, which do exist)."""
+    q, s = divmod(cfg.n_fft, cfg.hop_length)
+    n_blocks = n_frames + q - 1 + (1 if s else 0)
+    need = n_blocks * cfg.hop_length
+    if ypad.shape[-1] < need:
+        ypad = jnp.pad(ypad, ((0, 0), (0, need - ypad.shape[-1])))
     return ypad[:, :need].reshape(ypad.shape[0], n_blocks, cfg.hop_length)
 
 
@@ -155,15 +184,18 @@ def _combine_phase(gr, gi, cfg: FrontendConfig, n_frames: int):
     return xre, xim
 
 
-def _window_and_power(xre, xim):
+def _window_and_power(xre, xim, n_fft: int):
     """Frequency-domain periodic-Hann 3-tap + |.|^2, f32 in/out.
 
-    Circular with Hermitian edges: X[-1] = conj(X[1]),
-    X[n_freq] = conj(X[n_freq-2]) (real input, n_fft even)."""
+    Circular with Hermitian edges for real input: X[-1] = conj(X[1]) and
+    X[n_freq] = conj(X[n_fft - n_freq]), where n_fft - n_freq is
+    n_freq - 2 for even n_fft (a real Nyquist bin exists at the stored
+    edge) and n_freq - 1 for odd n_fft (no Nyquist bin)."""
+    e = -1 if n_fft % 2 else -2
     re_m1 = jnp.concatenate([xre[..., 1:2], xre[..., :-1]], axis=-1)
     im_m1 = jnp.concatenate([-xim[..., 1:2], xim[..., :-1]], axis=-1)
-    re_p1 = jnp.concatenate([xre[..., 1:], xre[..., -2:-1]], axis=-1)
-    im_p1 = jnp.concatenate([xim[..., 1:], -xim[..., -2:-1]], axis=-1)
+    re_p1 = jnp.concatenate([xre[..., 1:], xre[..., e:][..., :1]], axis=-1)
+    im_p1 = jnp.concatenate([xim[..., 1:], -xim[..., e:][..., :1]], axis=-1)
     wre = 0.5 * xre - 0.25 * (re_m1 + re_p1)
     wim = 0.5 * xim - 0.25 * (im_m1 + im_p1)
     return wre * wre + wim * wim
@@ -196,7 +228,17 @@ def mfcc_hopdft_batch(
     gr, gi = g[..., : cfg.n_freq], g[..., cfg.n_freq:]
 
     xre, xim = _combine_phase(gr, gi, cfg, n_frames)
-    power = _window_and_power(xre, xim)
+    q, s = divmod(cfg.n_fft, cfg.hop_length)
+    if s:
+        # non-dividing hop: frame f also reads the first s samples of
+        # block f+q — one thin matmul with the phase folded in
+        tail = blocks[:, q:q + n_frames, :s]
+        t = jnp.einsum("bts,sk->btk", tail,
+                       jnp.asarray(_tail_dft_constants(cfg)),
+                       precision=_dft_precision(cfg, prec))
+        xre = xre + t[..., : cfg.n_freq]
+        xim = xim + t[..., cfg.n_freq:]
+    power = _window_and_power(xre, xim, cfg.n_fft)
     return _finish_mfcc(
         power, cfg, lengths, b, n_frames, jnp.asarray(mel_t),
         jnp.asarray(dct_t), prec,
@@ -245,7 +287,7 @@ def mfcc_hopdft_int8_batch(
         xre = tre if xre is None else xre + tre
         xim = tim if xim is None else xim + tim
 
-    power = _window_and_power(xre, xim)
+    power = _window_and_power(xre, xim, cfg.n_fft)
     power = power * (f ** -2)[:, None, None]  # undo the per-row block scale
     return _finish_mfcc(
         power, cfg, lengths, b, n_frames, jnp.asarray(mel_t),

@@ -236,10 +236,24 @@ class TestHopDftVariant:
     75% frame overlap (4x fewer DFT matmul FLOPs, no framing expansion)."""
 
     def test_supported_presets(self):
-        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import hopdft_supported
+        import dataclasses
+
+        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import (
+            hopdft_int8_supported, hopdft_supported)
 
         assert hopdft_supported(DIGIT)          # 2048 % 512 == 0
-        assert not hopdft_supported(SPEAKER)    # 441 % 220 != 0
+        # round-3 generalization: the speaker preset (441 = 2*220 + 1) is
+        # covered via the s=1 tail matmul + odd-n_fft Hermitian edge...
+        assert hopdft_supported(SPEAKER)
+        # ...by the f32 variant only (the exact-int32 combine has no
+        # tail path and 441/220 has no integer roots)
+        assert not hopdft_int8_supported(SPEAKER)
+        # the frequency-domain Hann still requires a full-frame window
+        assert not hopdft_supported(
+            dataclasses.replace(DIGIT, win_length=1024))
+        # and hop <= n_fft (frames would skip samples otherwise)
+        assert not hopdft_supported(
+            dataclasses.replace(DIGIT, hop_length=4096))
 
     @pytest.mark.parametrize("variant", ["f32", "int8"])
     def test_matches_oracle_with_amplitude_spread(self, variant, rng):
@@ -358,10 +372,67 @@ class TestHopDftVariant:
             Frontend(r3, backend="hopdft_int8")
         Frontend(r3, backend="hopdft")  # f32 variant accepts r=3
 
-        # odd n_fft: no Nyquist bin -> unsupported (Hermitian edge taps)
+        # odd n_fft (no Nyquist bin): the parity-aware Hermitian edge
+        # handles it — r=3 dividing hop at n_fft=441
         odd = dataclasses.replace(DIGIT, n_fft=441, hop_length=147,
                                   win_length=441, utterance_length=151)
-        assert not hopdft_supported(odd)
+        assert hopdft_supported(odd)
+        got = np.asarray(mfcc_hopdft_batch(waves, odd))
+        for i in range(2):
+            want = frontend_ref.mfcc_fixed_length_ref(
+                waves[i], odd.utterance_length, sr=odd.sr, n_fft=odd.n_fft,
+                hop_length=odd.hop_length, win_length=odd.win_length,
+            )
+            np.testing.assert_allclose(got[i], want, atol=1e-3, rtol=1e-4)
+
+    def test_non_dividing_hop_tail_matmul(self, rng):
+        """n_fft = q*hop + s with s > 0: the tail matmul covers the s
+        samples of block f+q. Both parities of n_fft, oracle-checked."""
+        import dataclasses
+
+        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import (
+            hopdft_supported, mfcc_hopdft_batch)
+
+        waves = (rng.standard_normal((2, 22050)) * 0.3).astype(np.float32)
+        cases = [
+            SPEAKER,                                  # 441 = 2*220 + 1, odd
+            dataclasses.replace(DIGIT, n_fft=500, hop_length=300,
+                                win_length=500, utterance_length=40),
+            # s = hop - 1 (maximal tail) at odd n_fft
+            dataclasses.replace(DIGIT, n_fft=599, hop_length=200,
+                                win_length=599, utterance_length=80),
+        ]
+        for cfg in cases:
+            assert hopdft_supported(cfg)
+            got = np.asarray(mfcc_hopdft_batch(waves, cfg))
+            for i in range(2):
+                want = frontend_ref.mfcc_fixed_length_ref(
+                    waves[i], cfg.utterance_length, sr=cfg.sr,
+                    n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                    win_length=cfg.win_length,
+                )
+                np.testing.assert_allclose(got[i], want, atol=1e-3,
+                                           rtol=1e-4)
+
+    def test_speaker_lengths_masking(self, rng):
+        """Masked short rows through the speaker hop-block path match the
+        per-file f64 oracle on the unpadded signal (the guarantee the
+        data pipeline relies on for variable-length batches)."""
+        from asr_using_robust_nn_tpu.ops.mfcc_hopdft import mfcc_hopdft_batch
+
+        waves = (rng.standard_normal((3, 22050)) * 0.1).astype(np.float32)
+        lengths = np.array([22050, 11025, 4410])
+        for i, L in enumerate(lengths):
+            waves[i, L:] = 0
+        got = np.asarray(mfcc_hopdft_batch(waves, SPEAKER, lengths=lengths))
+        for i, L in enumerate(lengths):
+            want = frontend_ref.mfcc_fixed_length_ref(
+                waves[i, :L].astype(np.float64), SPEAKER.utterance_length,
+                sr=SPEAKER.sr, n_fft=SPEAKER.n_fft,
+                hop_length=SPEAKER.hop_length,
+                win_length=SPEAKER.win_length,
+            )
+            np.testing.assert_allclose(got[i], want, atol=1e-3)
 
     def test_pure_tone_no_worse_than_direct_int8(self):
         """Pure tones are the int8 digit scheme's worst input class (the
@@ -398,11 +469,18 @@ class TestHopDftVariant:
         got = np.asarray(Frontend(DIGIT, backend="hopdft")(waves))
         want = np.asarray(Frontend(DIGIT, backend="xla")(waves))
         np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
-        # speaker preset (441 % 220 != 0) must be rejected at construction
-        with pytest.raises(ValueError, match="hop"):
-            Frontend(SPEAKER, backend="hopdft")
+        # speaker preset: f32 variant accepted (tail-matmul generalization),
+        # int8 variant rejected at construction (no exact roots, no tail)
+        got = np.asarray(Frontend(SPEAKER, backend="hopdft")(waves))
+        want = np.asarray(Frontend(SPEAKER, backend="xla")(waves))
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
         with pytest.raises(ValueError, match="hop"):
             Frontend(SPEAKER, backend="hopdft_int8")
+        # a window shorter than n_fft stays rejected for both
+        import dataclasses
+        partial_win = dataclasses.replace(DIGIT, win_length=1024)
+        with pytest.raises(ValueError, match="win"):
+            Frontend(partial_win, backend="hopdft")
 
 
 class TestInt8PallasFused:
