@@ -10,7 +10,9 @@ adversarial eval, on synthetic 1-s utterances, per-utterance wall time
 summed across stages. Each stage is timed with a dependency-chained
 lax.fori_loop so the runtime cannot cache or overlap identical calls
 (the axon tunnel memoizes repeated pure executions — see
-.claude/skills/verify/SKILL.md).
+.claude/skills/verify/SKILL.md), using paired-length differencing
+((t(2n) - t(n)) / n with a dynamic trip count) so the tunnel RTT and its
+jitter cancel exactly instead of being subtracted as a separate estimate.
 
 vs_baseline compares against the reference's CPU pipeline cost recorded in
 baselines/reference_cpu.json (librosa-equivalent sequential frontend +
@@ -46,38 +48,75 @@ def _measure_rtt(x0) -> float:
     return sorted(ts)[len(ts) // 2]
 
 
+def _paired_time(fetch, fresh, n0: int, rtt: float, target_s: float = 0.25,
+                 reps: int = 3) -> tuple[float, int]:
+    """Per-iteration wall seconds by PAIRED-LENGTH DIFFERENCING.
+
+    `fetch(x, n)` runs an n-iteration dependency chain on input `x` and
+    blocks on a real host fetch; `fresh(i)` returns a never-seen input
+    buffer (the axon runtime memoizes identical pure executions). The
+    estimate is (t(2n) - t(n)) / n over fresh buffers: the tunnel RTT,
+    dispatch, and every other fixed per-fetch cost cancel EXACTLY instead
+    of being subtracted as a separately measured median — the subtraction
+    scheme mis-reported by up to ~40x once a fast stage's whole chain ran
+    shorter than the RTT jitter (observed 2026-08-18: train-step "MFU"
+    4.1 > 1.0). n is auto-calibrated so each timed leg runs >= target_s
+    above the RTT floor; the trip count is a DYNAMIC argument so one
+    compile serves every length. Returns (seconds_per_iteration, n)."""
+    n = max(int(n0), 1)
+    seq = iter(range(10_000))
+    fetch(fresh(next(seq)), n)  # compile + settle
+    for _ in range(16):  # calibrate: grow until the n-leg clears target_s
+        t0 = time.perf_counter()
+        fetch(fresh(next(seq)), n)
+        if time.perf_counter() - t0 >= rtt + target_s or n >= 65536:
+            break
+        n *= 2
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch(fresh(next(seq)), n)
+        t1 = time.perf_counter()
+        fetch(fresh(next(seq)), 2 * n)
+        t2 = time.perf_counter()
+        samples.append(((t2 - t1) - (t1 - t0)) / n)
+    samples.sort()
+    dt = samples[len(samples) // 2]  # median: robust to one jitter spike
+    if dt <= 0 and n < 262_144:  # jitter swamped even the calibrated chain
+        return _paired_time(fetch, fresh, 4 * n, rtt, target_s, reps)
+    if dt <= 0:  # bounded: a stage this fast is below the measurement
+        dt = max(max(samples), 1e-9)  # floor; report the least-negative rep
+    return dt, n
+
+
 def _time_chain(fn, x0, n_iter: int, rtt: float) -> float:
-    """Wall seconds per fn application: one jitted chain of n_iter dependent
-    applications, synchronized by an actual host fetch of the result (the
-    axon runtime's block_until_ready and result memoization both mis-report
-    otherwise), minus the separately measured round-trip."""
+    """Wall seconds per fn application: a jitted chain of dependent
+    applications where every iteration consumes the FULL output (defeats
+    DCE) and feeds a scalar back into the next input (defeats caching/
+    hoisting/CSE), timed by paired-length differencing (_paired_time)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(x):
+    def run(x, n):
         def body(i, carry):
             x, acc = carry
             out = fn(x)
-            # consume every output element (defeat DCE) and feed a scalar
-            # back into the next input (defeat caching/hoisting/CSE)
             probe = sum(jnp.sum(leaf).astype(jnp.float32)
                         for leaf in jax.tree.leaves(out)) * jnp.float32(1e-20)
             return (x + probe, acc + probe)
 
-        x_fin, acc = jax.lax.fori_loop(0, n_iter, body, (x, jnp.float32(0.0)))
+        x_fin, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
         return jnp.ravel(x_fin)[:4] + acc
 
-    def fetch(x):
-        return float(np.asarray(run(x))[0])
+    def fetch(x, n):
+        return float(np.asarray(run(x, n))[0])
 
-    fetch(x0)  # compile
-    # fresh buffer per run: the runtime memoizes identical pure executions
-    x2 = jax.tree.map(lambda a: a + 2.0, x0)
-    t0 = time.perf_counter()
-    fetch(x2)
-    dt = time.perf_counter() - t0
-    return max(dt - rtt, 1e-9) / n_iter
+    def fresh(i):
+        return jax.tree.map(lambda a: a + (2.0 + i), x0)
+
+    dt, _ = _paired_time(fetch, fresh, n_iter, rtt)
+    return dt
 
 
 # bf16 MXU peak per chip, by jax device_kind. Used only to turn measured
@@ -141,11 +180,12 @@ def measure_tpu(quick: bool = False) -> dict:
 
     rng = np.random.default_rng(0)
     b_mfcc = 512 if quick else 1024
-    # per-stage chain lengths sized so each timed chain runs >= ~100 ms,
-    # well above tunnel RTT jitter (~+-5 ms)
-    n_iter = 4 if quick else 8          # MFCC: ~14 ms/call
-    n_iter_train = 16 if quick else 64  # train step: ~3 ms/call
-    n_iter_fgsm = 64 if quick else 512  # FGSM eval: ~0.06 ms/call
+    # per-stage STARTING chain lengths; _paired_time auto-calibrates each
+    # stage upward until a chain leg clears the RTT floor by >= 250 ms, so
+    # these only set the first probe
+    n_iter = 4 if quick else 8          # MFCC: ~9-14 ms/call
+    n_iter_train = 16 if quick else 64  # train step: ~0.2 ms/call
+    n_iter_fgsm = 64 if quick else 512  # FGSM eval: ~0.02 ms/call
     cfg = FrontendConfig.digit()
     waves = jax.device_put(
         (rng.standard_normal((b_mfcc, 22050)) * 0.1).astype(np.float32)
@@ -235,7 +275,7 @@ def measure_tpu(quick: bool = False) -> dict:
         step = trainer.train_step
 
         @jax.jit
-        def train_chain(params, state, opt_state, cstate, x):
+        def train_chain(params, state, opt_state, cstate, x, n):
             def body(i, carry):
                 params, state, opt_state, cstate, x = carry
                 k = jax.random.fold_in(key, i)
@@ -245,7 +285,7 @@ def measure_tpu(quick: bool = False) -> dict:
                 return (params, state, opt_state, cstate, x + 1e-20 * loss)
 
             out = jax.lax.fori_loop(
-                0, n_iter_train, body, (params, state, opt_state, cstate, x)
+                0, n, body, (params, state, opt_state, cstate, x)
             )
             # 4-float probe over every updated tensor, computed in-graph so
             # the host fetch moves 16 bytes, not a weight matrix
@@ -253,13 +293,14 @@ def measure_tpu(quick: bool = False) -> dict:
                         for l in jax.tree.leaves((out[0], out[1])))
             return out[0], out[1], jnp.ravel(out[4])[:4] + probe
 
-        p2, s2, pr = train_chain(params, state, opt_state, cstate, x)
-        float(np.asarray(pr)[0])
-        x_t = x + 0.5  # fresh buffer (axon memoizes identical executions)
-        t0 = time.perf_counter()
-        _, _, pr = train_chain(params, state, opt_state, cstate, x_t)
-        float(np.asarray(pr)[0])  # 16-byte host fetch forces completion
-        t = max(time.perf_counter() - t0 - rtt, 1e-9) / n_iter_train
+        def fetch(xx, n):
+            _, _, pr = train_chain(params, state, opt_state, cstate, xx, n)
+            return float(np.asarray(pr)[0])
+
+        t, _ = _paired_time(fetch, lambda i: x + 0.5 * (i + 1), n_iter_train,
+                            rtt)
+        p2, s2, _ = train_chain(params, state, opt_state, cstate, x,
+                                n_iter_train)
         return t, trainer, p2, s2
 
     t_train_f32, trainer, params2, state2 = measure_train_step(mcfg)
@@ -289,13 +330,22 @@ def measure_tpu(quick: bool = False) -> dict:
             p, s = init_mlp(cfg, jax.random.PRNGKey(seed))
             return p, s, trainer.optimizer.init(p), con.init(p)
 
-        out = ep_fn(*fresh_trees(10), data, lab, pk, dk, n_true=n_true)
-        float(np.asarray(out[4]))  # compile + settle
-        trees = fresh_trees(11)  # fresh buffers: axon memoizes identical
-        t0 = time.perf_counter()
-        out = ep_fn(*trees, data, lab, pk, dk, n_true=n_true)
-        float(np.asarray(out[4]))
-        return max(time.perf_counter() - t0 - rtt, 1e-9) / n_epochs_chain
+        def fetch(trees, n_calls):
+            # chain n_calls dispatches of the SAME compiled program by
+            # threading the updated trees through (fresh inputs each call,
+            # so the runtime cannot memoize), fetch once at the end
+            out = ep_fn(*trees, data, lab, pk, dk, n_true=n_true)
+            for _ in range(n_calls - 1):
+                out = ep_fn(out[0], out[1], out[2], out[3], data, lab, pk,
+                            dk, n_true=n_true)
+            return float(np.asarray(out[4]))
+
+        # paired-length differencing over whole dispatches: RTT cancels
+        t_per_call, _ = _paired_time(
+            lambda trees, n: fetch(trees, n),
+            lambda i: fresh_trees(10 + i), 1, rtt,
+        )
+        return t_per_call / n_epochs_chain
 
     t_epoch_f32 = measure_epoch(mcfg)
     t_epoch_bf16 = measure_epoch(mcfg.with_bf16())
@@ -349,6 +399,22 @@ def measure_tpu(quick: bool = False) -> dict:
     sp_flops = sp_model * speaker_utts_per_s
     tr_flops = train_step_flops_per_utt(mcfg) * train_utts_per_s
     ep_flops = train_step_flops_per_utt(mcfg) * n_true / t_epoch
+
+    # Contention sentinel: the shared dev chip occasionally time-slices
+    # 10-20x slower for minutes at a stretch (observed 2026-08-18: one full
+    # run landed uniformly ~20x slow between two healthy runs). Re-time the
+    # already-compiled int8 digit frontend at the END of the run; a large
+    # start->end drift marks the WHOLE run suspect so main() can retry once
+    # and the recorded JSON carries the evidence either way.
+    t_int8_end = _time_chain(
+        lambda w: mfcc_int8_batch(w, cfg), waves, n_iter, rtt)
+    drift = t_int8_end / t_int8
+    sanity = {
+        "mfcc_int8_ms_start": t_int8 * 1e3,
+        "mfcc_int8_ms_end": t_int8_end * 1e3,
+        "drift_ratio": drift,
+        "contention_suspected": bool(drift > 1.5 or drift < 1 / 1.5),
+    }
     return {
         "mfcc_utts_per_s": mfcc_utts_per_s,
         "mfcc_backend": mfcc_backend,
@@ -402,6 +468,7 @@ def measure_tpu(quick: bool = False) -> dict:
         ),
         "rtt_ms": rtt * 1e3,
         "backend": jax.default_backend(),
+        "sanity": sanity,
     }
 
 
@@ -458,6 +525,17 @@ def main(quick: bool = False) -> int:
             }))
             return 1
     stats = measure_tpu(quick=quick)
+    if stats.get("sanity", {}).get("contention_suspected"):
+        # one bounded retry: keep the faster (less-contended) run, record
+        # the discarded composite so the band is visible in the artifact
+        retry = measure_tpu(quick=quick)
+        keep, drop = ((retry, stats)
+                      if retry["pipeline_utts_per_s"]
+                      > stats["pipeline_utts_per_s"] else (stats, retry))
+        keep["sanity"]["runs"] = 2
+        keep["sanity"]["discarded_pipeline_utts_per_s"] = (
+            drop["pipeline_utts_per_s"])
+        stats = keep
     ref = load_reference_baseline()
     vs = None
     if ref and ref.get("pipeline_utts_per_s"):
