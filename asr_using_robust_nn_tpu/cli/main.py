@@ -92,6 +92,40 @@ def _add_train(sub):
                         "accuracy delta; models/mlp.py MLPConfig.with_bf16)")
 
 
+def _add_train_multi(sub):
+    p = sub.add_parser(
+        "train-multi",
+        help="train a seed x rho grid as ONE fused XLA program "
+             "(train/multi_run.py: the runs axis is vmapped, so R tiny "
+             "models share each GEMM dispatch; the reference selects rho "
+             "and re-runs by editing code — train_constraints.py:100-102)")
+    p.add_argument("--task", choices=["digit", "speaker"], required=True)
+    p.add_argument("--variant", choices=["unconstrained", "constrained"],
+                   default="unconstrained")
+    p.add_argument("--data", required=True, help="artifact dir from prepare-data")
+    p.add_argument("--ckpt", required=True,
+                   help="checkpoint root; run r saves under "
+                        "<ckpt>/run<r>_seed<s>[_rho<rho>]/")
+    p.add_argument("--seeds", required=True,
+                   help="comma-separated seed list, one training run each")
+    p.add_argument("--rhos", default=None,
+                   help="comma-separated Lipschitz targets; forms the full "
+                        "seeds x rhos grid (constrained only)")
+    p.add_argument("--constraint",
+                   choices=["simple", "norm", "fista", "custom", "none"],
+                   default="simple")
+    p.add_argument("--epochs", type=int, default=10000)
+    p.add_argument("--patience", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs-per-dispatch", type=int, default=8,
+                   help="epochs fused per dispatch (early-stop granularity)")
+    p.add_argument("--runs-mesh", action="store_true",
+                   help="shard the runs axis across all visible devices "
+                        "(ensemble parallelism: zero train-path collectives)")
+    p.add_argument("--no-standardize", action="store_true")
+    p.add_argument("--bf16", action="store_true")
+
+
 def _add_attack(sub):
     p = sub.add_parser("attack", help="robustness sweep on a model pair")
     p.add_argument("--type", required=True, choices=[
@@ -390,6 +424,134 @@ def cmd_train(args):
     }))
 
 
+def cmd_train_multi(args):
+    import jax
+
+    from ..constraints import (
+        make_custom_constraint,
+        make_fista_constraint,
+        make_norm_constraint,
+        make_simple_norm_constraint,
+    )
+    from ..data import load_artifacts, standardize_fit_all
+    from ..parallel.mesh import pad_to_multiple
+    from ..train import TrainConfig
+    from ..train.checkpoints import CheckpointManager
+    from ..train.multi_run import build_multi_run_eval_fn, fit_multi_run
+
+    try:
+        seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+    except ValueError:
+        print(f"error: --seeds must be comma-separated ints, got "
+              f"{args.seeds!r}", file=sys.stderr)
+        return 2
+    if not seeds:
+        print("error: --seeds is empty", file=sys.stderr)
+        return 2
+    rhos = None
+    if args.rhos is not None:
+        try:
+            rhos = [float(r) for r in args.rhos.split(",") if r.strip()]
+        except ValueError:
+            print(f"error: --rhos must be comma-separated floats, got "
+                  f"{args.rhos!r}", file=sys.stderr)
+            return 2
+        if args.variant != "constrained" or args.constraint == "none":
+            print("error: --rhos needs --variant constrained and a "
+                  "--constraint algorithm", file=sys.stderr)
+            return 2
+
+    if not os.path.exists(os.path.join(args.data, "train_data.npy")):
+        print(f"error: {args.data!r} has no train_data.npy — run "
+              f"`asrtpu prepare-data` first", file=sys.stderr)
+        return 2
+    d = load_artifacts(args.data)
+    if args.no_standardize:
+        tr, dv, te = d.train_data, d.dev_data, d.test_data
+    else:
+        tr, dv, te, _, _ = standardize_fit_all(d.train_data, d.dev_data,
+                                               d.test_data)
+
+    cfg = model_cfg_for(args.task, args.variant)
+    if args.bf16:
+        cfg = cfg.with_bf16()
+    defaults = _REF_DEFAULTS[(args.task, args.variant)]
+    batch = args.batch_size or defaults["batch"]
+    patience = (args.patience if args.patience is not None
+                else defaults["patience"])
+    tcfg = TrainConfig(batch_size=batch, epochs=args.epochs,
+                       patience=patience, device_resident=True,
+                       epochs_per_dispatch=args.epochs_per_dispatch)
+
+    factory = None
+    kw = {}
+    if args.variant == "constrained" and args.constraint != "none":
+        factory = {
+            "simple": make_simple_norm_constraint,
+            "norm": make_norm_constraint,
+            "fista": lambda rho: make_fista_constraint(rho, nit=2),
+            "custom": make_custom_constraint,
+        }[args.constraint]
+        if rhos is None:
+            rhos = [_REF_RHO[args.task]]
+    if factory is not None:
+        # full seeds x rhos grid, paired elementwise for fit_multi_run
+        grid = [(s, r) for s in seeds for r in rhos]
+        run_seeds = [s for s, _ in grid]
+        kw = dict(constraint_factory=factory,
+                  rhos=[r for _, r in grid])
+    else:
+        grid = [(s, None) for s in seeds]
+        run_seeds = seeds
+    mesh = None
+    if args.runs_mesh:
+        from ..parallel import data_mesh
+
+        mesh = data_mesh()
+        if len(grid) % mesh.devices.size:
+            print(f"error: --runs-mesh needs the run count ({len(grid)}) "
+                  f"to divide across {mesh.devices.size} devices — adjust "
+                  f"--seeds/--rhos", file=sys.stderr)
+            return 2
+
+    res = fit_multi_run(cfg, tcfg, tr, d.train_label, dv, d.dev_label,
+                        run_seeds, mesh=mesh, **kw)
+
+    # one fused test eval across all runs, then per-run best checkpoints
+    vb = 1024 if len(te) >= 1024 else max(8, len(te))
+    te_p, _ = pad_to_multiple(np.asarray(te, np.float32), vb)
+    tl_p, _ = pad_to_multiple(np.asarray(d.test_label, np.int32), vb)
+    eval_fn = build_multi_run_eval_fn(cfg, batch_size=vb)
+    t_loss, t_acc = eval_fn(res["best_params"], res["best_state"], te_p,
+                            tl_p, len(te))
+    t_loss, t_acc = np.asarray(t_loss), np.asarray(t_acc)
+
+    take = lambda tree, r: jax.tree.map(lambda a: a[r], tree)  # noqa: E731
+    runs = []
+    for r, (seed, rho) in enumerate(grid):
+        sub = (f"run{r}_seed{seed}" if rho is None
+               else f"run{r}_seed{seed}_rho{rho:g}")
+        ck_dir = os.path.join(args.ckpt, sub)
+        CheckpointManager(ck_dir).save_best(
+            take(res["best_params"], r), take(res["best_state"], r),
+            take(res["best_opt_state"], r),
+            epoch=int(res["best_epoch"][r]),
+            val_loss=float(res["best_val_loss"][r]))
+        runs.append({
+            "seed": seed, "rho": rho,
+            "best_val_loss": float(res["best_val_loss"][r]),
+            "epochs_run": int(res["epochs_run"][r]),
+            "test_loss": float(t_loss[r]),
+            "test_accuracy": float(t_acc[r]),
+            "ckpt": ck_dir,
+        })
+        print(f"run {r} seed={seed} rho={rho}: val_loss="
+              f"{res['best_val_loss'][r]:.4f} test_acc={t_acc[r]:.4f} "
+              f"({res['epochs_run'][r]} epochs) -> {ck_dir}")
+    print(json.dumps({"runs": runs, "n_runs": len(grid),
+                      "fused_dispatches": len(res["history"]["val_loss"])}))
+
+
 def cmd_attack(args):
     import jax.numpy as jnp
 
@@ -648,6 +810,20 @@ def cmd_evaluate(args):
                       "confusion_matrix": conf.tolist()}))
 
 
+# registration + dispatch in ONE table so a subcommand can never be parsed
+# but undispatched (KeyError at runtime — caught by a live drive, round 3)
+_SUBCOMMANDS = {
+    "prepare-data": (_add_prepare, lambda a: cmd_prepare(a)),
+    "train": (_add_train, lambda a: cmd_train(a)),
+    "train-multi": (_add_train_multi, lambda a: cmd_train_multi(a)),
+    "attack": (_add_attack, lambda a: cmd_attack(a)),
+    "dolphin": (_add_dolphin, lambda a: cmd_dolphin(a)),
+    "bench": (_add_bench, lambda a: cmd_bench(a)),
+    "profile": (_add_profile, lambda a: cmd_profile(a)),
+    "evaluate": (_add_eval, lambda a: cmd_evaluate(a)),
+}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="asrtpu",
@@ -655,23 +831,10 @@ def main(argv=None):
                     "(capabilities of fmazilu/ASR-using-robust-NN)",
     )
     sub = ap.add_subparsers(dest="cmd", required=True)
-    _add_prepare(sub)
-    _add_train(sub)
-    _add_attack(sub)
-    _add_dolphin(sub)
-    _add_bench(sub)
-    _add_profile(sub)
-    _add_eval(sub)
+    for add_fn, _ in _SUBCOMMANDS.values():
+        add_fn(sub)
     args = ap.parse_args(argv)
-    return {
-        "prepare-data": cmd_prepare,
-        "train": cmd_train,
-        "attack": cmd_attack,
-        "dolphin": cmd_dolphin,
-        "bench": cmd_bench,
-        "profile": cmd_profile,
-        "evaluate": cmd_evaluate,
-    }[args.cmd](args) or 0
+    return _SUBCOMMANDS[args.cmd][1](args) or 0
 
 
 if __name__ == "__main__":

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..models.mlp import MLPConfig, apply_mlp
 from .trainer import apply_update
 
-__all__ = ["build_epoch_fn", "build_eval_fn"]
+__all__ = ["build_epoch_fn", "build_eval_fn", "epoch_program", "eval_program"]
 
 
 def _masked_forward_loss(model_cfg, params, state, x, y, w, rng):
@@ -48,21 +48,19 @@ def _masked_forward_loss(model_cfg, params, state, x, y, w, rng):
     return loss, (new_state, acc)
 
 
-def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
-                   batch_size: int = 256, shuffle: bool = True, mesh=None,
-                   epochs_per_call: int = 1, reshuffle_inner: bool = True):
-    """-> jitted epoch(params, state, opt_state, cstate, data, labels, key)
-    returning (params, state, opt_state, cstate, mean_loss, mean_acc).
+def epoch_program(model_cfg: MLPConfig, optimizer, constraint=None,
+                  batch_size: int = 256, shuffle: bool = True,
+                  epochs_per_call: int = 1, reshuffle_inner: bool = True):
+    """The UN-jitted epoch program
+    `epoch(params, state, opt_state, cstate, data, labels, perm_key,
+    drop_key, n_true)` -> (params, state, opt_state, cstate, mean_loss,
+    mean_acc). `build_epoch_fn` jits it; `train/multi_run.py` vmaps it over
+    a runs axis first. n_true must be concrete at trace time (it shapes the
+    shuffle permutation).
 
     `data`/`labels` are full device-resident arrays, padded by the caller to
     a multiple of batch_size with a trailing `weights` mask baked in via
     `n_true` (static).
-
-    With `mesh` (a 1-D data mesh), the split is sharded across devices on
-    its leading dim and the epoch program runs SPMD: the per-epoch shuffle
-    gather becomes an XLA all-to-all, per-step gradients all-reduce over
-    ICI, and BatchNorm batch moments span the global batch — one fused
-    multi-chip epoch per dispatch.
 
     `epochs_per_call` > 1 wraps the epoch in an outer fori_loop so E epochs
     run per dispatch — the host round-trip (27 ms over the dev tunnel)
@@ -131,6 +129,26 @@ def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
                     jnp.float32(0))
             return jax.lax.fori_loop(0, epochs_per_call, body, init)
 
+    return epoch
+
+
+def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
+                   batch_size: int = 256, shuffle: bool = True, mesh=None,
+                   epochs_per_call: int = 1, reshuffle_inner: bool = True):
+    """-> jitted `epoch_program` (same signature, n_true static, train-state
+    args donated).
+
+    With `mesh` (a 1-D data mesh), the split is sharded across devices on
+    its leading dim and the epoch program runs SPMD: the per-epoch shuffle
+    gather becomes an XLA all-to-all, per-step gradients all-reduce over
+    ICI, and BatchNorm batch moments span the global batch — one fused
+    multi-chip epoch per dispatch.
+    """
+    epoch = epoch_program(
+        model_cfg, optimizer, constraint, batch_size=batch_size,
+        shuffle=shuffle, epochs_per_call=epochs_per_call,
+        reshuffle_inner=reshuffle_inner,
+    )
     if mesh is None:
         return jax.jit(epoch, static_argnames=("n_true",),
                        donate_argnums=(0, 1, 2, 3))
@@ -147,10 +165,10 @@ def build_epoch_fn(model_cfg: MLPConfig, optimizer, constraint=None,
     )
 
 
-def build_eval_fn(model_cfg: MLPConfig, batch_size: int = 1024, mesh=None):
-    """-> jitted evaluate(params, state, data, labels, n_true) -> (loss, acc)
-    over a padded device-resident eval split (single fused scan); SPMD over
-    `mesh` when given."""
+def eval_program(model_cfg: MLPConfig, batch_size: int = 1024):
+    """The UN-jitted fused-scan evaluator
+    `evaluate(params, state, data, labels, n_true)` -> (loss, acc) over a
+    padded device-resident eval split."""
 
     def evaluate(params, state, data, labels, n_true):
         n_pad = data.shape[0]
@@ -173,6 +191,13 @@ def build_eval_fn(model_cfg: MLPConfig, batch_size: int = 1024, mesh=None):
         n = jnp.sum(ns)
         return jnp.sum(losses) / n, jnp.sum(hits) / n
 
+    return evaluate
+
+
+def build_eval_fn(model_cfg: MLPConfig, batch_size: int = 1024, mesh=None):
+    """-> jitted `eval_program` (n_true static); SPMD over `mesh` when
+    given (rows sharded across devices)."""
+    evaluate = eval_program(model_cfg, batch_size=batch_size)
     if mesh is None:
         return jax.jit(evaluate, static_argnames=("n_true",))
     from jax.sharding import NamedSharding, PartitionSpec as P

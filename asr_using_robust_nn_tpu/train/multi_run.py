@@ -1,0 +1,373 @@
+"""Multi-run training: R independent trainings fused into ONE XLA program.
+
+The reference's models are tiny by MXU standards (~1.65M params at batch
+<= 512, `Voice digit recogniton/train_google_dataset.py:49-74`), so a
+single training run cannot fill a TPU — and the thesis protocol wants MANY
+runs: its experiments are unseeded re-runs (SURVEY.md §2.3), seed studies
+(the 6-seed accuracy study), and constraint-strength variants selected by
+commenting code in and out (`Voice digit recogniton/
+train_constraints.py:100-102`, SURVEY.md §5 config). The TPU-native answer
+is to vmap the whole device-resident epoch program (train/epoch_scan.py)
+over a leading runs axis: R sets of (params, optimizer state, constraint
+state, RNG keys) train on the same HBM-resident split in one dispatch,
+every per-run GEMM becomes one batched GEMM, and the host round-trip
+amortizes over R runs x epochs_per_dispatch epochs.
+
+Two sweep axes compose, in any combination:
+
+- **seeds**: stacked inits/shuffle/dropout keys (`init_multi_run_state`),
+  each run reproducing `Trainer.fit`'s exact key derivation for its seed.
+- **constraint strength rho**: pass `constraint_factory` (one of the
+  `constraints/engine.py` factories) plus a per-run `rhos` vector; the
+  factory is re-invoked inside the trace on a TRACED per-run rho (all four
+  factories are jnp-pure in rho), so R different constraint strengths
+  train simultaneously.
+
+Per-run early stopping and best-checkpoint retention stay EXACT via masked
+freezing: once a run's patience is exhausted its params/opt-state/BN
+state/constraint state are re-selected to their old values after each
+chunk (`jnp.where` on the `active` mask), so its trajectory, best
+snapshot, and val metrics are identical to having stopped it — the fused
+program just stops spending its lanes on anything that changes state.
+
+Scaling: the runs axis is embarrassingly parallel. With `mesh`, stacked
+run states are sharded across devices on the runs axis and the data is
+replicated — ensemble parallelism with zero collectives on the training
+path (contrast parallel/data_parallel.py, which all-reduces gradients).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.mlp import MLPConfig, init_mlp
+from .epoch_scan import epoch_program, eval_program
+
+__all__ = [
+    "init_multi_run_state",
+    "build_multi_run_epoch_fn",
+    "build_multi_run_eval_fn",
+    "fit_multi_run",
+]
+
+
+def _run_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return (NamedSharding(mesh, P(mesh.axis_names[0])),
+            NamedSharding(mesh, P()))
+
+
+def init_multi_run_state(model_cfg: MLPConfig, optimizer, seeds,
+                         constraint_init=None, mesh=None):
+    """-> (params, state, opt_state, cstate, perm_keys, drop_keys), each
+    stacked on a leading runs axis of len(seeds).
+
+    Key derivation per run matches `Trainer.fit` exactly for
+    TrainConfig(seed=s): key = PRNGKey(s); key, k0 = split(key); init from
+    k0; (key_perm, key_drop) = split(fold_in(key, 977)) — so run r of a
+    multi-run program sees the same init, shuffles, and dropout masks as a
+    solo `Trainer.fit(seed=seeds[r])` (values can drift at f32 rounding
+    because batched GEMMs may associate reductions differently).
+
+    `constraint_init` is a Constraint.init callable (params -> cstate);
+    every engine constraint's init depends only on kernel SHAPES (the
+    power-iteration warm starts use fixed PRNGKeys), so it is safely
+    vmapped here. With `mesh`, the stacked states are placed sharded on
+    the runs axis (data stays replicated)."""
+
+    def one(seed):
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
+        params, state = init_mlp(model_cfg, k0)
+        opt_state = optimizer.init(params)
+        cstate = () if constraint_init is None else constraint_init(params)
+        kp, kd = jax.random.split(jax.random.fold_in(key, 977))
+        return params, state, opt_state, cstate, kp, kd
+
+    seeds = jnp.asarray(np.asarray(seeds, np.uint32))
+    out = jax.vmap(one)(seeds)
+    if mesh is not None:
+        run_sh, _ = _run_sharding(mesh)
+        out = jax.device_put(out, run_sh)
+    return out
+
+
+def build_multi_run_epoch_fn(
+    model_cfg: MLPConfig,
+    optimizer,
+    constraint=None,
+    *,
+    constraint_factory=None,
+    batch_size: int = 256,
+    shuffle: bool = True,
+    epochs_per_call: int = 1,
+    reshuffle_inner: bool = True,
+    mesh=None,
+):
+    """-> jitted `fn(params, state, opt_state, cstate, data, labels,
+    perm_keys, drop_keys, active, rhos, n_true)` where the six train-state/
+    key arguments are stacked on a leading runs axis and `data`/`labels`
+    are shared (unstacked, padded to a batch_size multiple).
+
+    `active` is an optional bool [R] mask: inactive runs execute but their
+    updated state is discarded in favor of the old one (exact freeze; pass
+    None to skip masking). `rhos` is a float [R] vector consumed by
+    `constraint_factory` (pass None with a fixed `constraint`). Exactly one
+    of `constraint` / `constraint_factory` may be given. Returns stacked
+    (params, state, opt_state, cstate, mean_loss[R], mean_acc[R]).
+
+    With `mesh`, run states shard across devices on the runs axis and the
+    split replicates — no collectives; R must divide by the device count.
+    """
+    if constraint is not None and constraint_factory is not None:
+        raise ValueError("pass either constraint or constraint_factory")
+
+    def fn(params, state, opt_state, cstate, data, labels, perm_keys,
+           drop_keys, active, rhos, n_true):
+        def one_run(params, state, opt_state, cstate, pk, dk, act, rho):
+            con = (constraint_factory(rho).apply
+                   if constraint_factory is not None else constraint)
+            epoch = epoch_program(
+                model_cfg, optimizer, con, batch_size=batch_size,
+                shuffle=shuffle, epochs_per_call=epochs_per_call,
+                reshuffle_inner=reshuffle_inner,
+            )
+            p2, s2, o2, c2, loss, acc = epoch(
+                params, state, opt_state, cstate, data, labels, pk, dk,
+                n_true)
+            if act is not None:
+                p2, s2, o2, c2 = jax.tree.map(
+                    lambda new, old: jnp.where(act, new, old),
+                    (p2, s2, o2, c2), (params, state, opt_state, cstate))
+            return p2, s2, o2, c2, loss, acc
+
+        return jax.vmap(one_run)(params, state, opt_state, cstate,
+                                 perm_keys, drop_keys, active, rhos)
+
+    if mesh is None:
+        return jax.jit(fn, static_argnames=("n_true",),
+                       donate_argnums=(0, 1, 2, 3))
+    run_sh, repl = _run_sharding(mesh)
+    return jax.jit(
+        fn,
+        static_argnames=("n_true",),
+        in_shardings=(run_sh, run_sh, run_sh, run_sh, repl, repl, run_sh,
+                      run_sh, run_sh, run_sh),
+        out_shardings=(run_sh, run_sh, run_sh, run_sh, run_sh, run_sh),
+        donate_argnums=(0, 1, 2, 3),
+    )
+
+
+def build_multi_run_eval_fn(model_cfg: MLPConfig, batch_size: int = 1024,
+                            mesh=None):
+    """-> jitted `evaluate(params, state, data, labels, n_true)` with
+    params/state stacked on a runs axis -> (val_loss[R], val_acc[R])."""
+    evaluate = eval_program(model_cfg, batch_size=batch_size)
+
+    def fn(params, state, data, labels, n_true):
+        return jax.vmap(
+            lambda p, s: evaluate(p, s, data, labels, n_true)
+        )(params, state)
+
+    if mesh is None:
+        return jax.jit(fn, static_argnames=("n_true",))
+    run_sh, repl = _run_sharding(mesh)
+    return jax.jit(
+        fn,
+        static_argnames=("n_true",),
+        in_shardings=(run_sh, run_sh, repl, repl),
+        out_shardings=(run_sh, run_sh),
+    )
+
+
+def _where_runs(better, new, old):
+    """Per-run select over stacked trees: better is bool [R]."""
+    def sel(n, o):
+        b = better.reshape((-1,) + (1,) * (n.ndim - 1))
+        return jnp.where(b, n, o)
+
+    return jax.tree.map(sel, new, old)
+
+
+def fit_multi_run(
+    model_cfg: MLPConfig,
+    train_cfg,
+    train_x,
+    train_y,
+    val_x,
+    val_y,
+    seeds,
+    *,
+    constraint=None,
+    constraint_init=None,
+    constraint_factory=None,
+    rhos=None,
+    mesh=None,
+) -> dict:
+    """Train len(seeds) runs to early stopping as one fused program; the
+    multi-run analog of `Trainer.fit(device_resident=True)` with identical
+    per-run semantics (same key derivation, same epoch math, Keras
+    EarlyStopping patience on val_loss, best-snapshot retention), except
+    early stopping is evaluated per run at `epochs_per_dispatch`
+    granularity and finished runs are mask-frozen while the rest continue.
+
+    Pass a fixed `constraint` (+ `constraint_init`) for a pure seed study,
+    or `constraint_factory` + `rhos` (one per run) for a constraint-
+    strength sweep — seeds and rhos pair elementwise, so a full grid is
+    seeds/rhos vectors of the same length R (e.g. 3 seeds x 4 rhos ->
+    R = 12).
+
+    Returns a dict of STACKED results: best_params/best_state/
+    best_opt_state (numpy, runs axis leading — opt state retained so saved
+    checkpoints resume the Adam trajectory exactly like Trainer.fit's
+    save_best), best_val_loss [R], best_epoch [R], epochs_run [R], and
+    history arrays of
+    shape [n_chunks, R]. After a run freezes, its val_loss/val_acc rows
+    repeat its frozen values exactly; its train loss/acc rows show the
+    discarded would-be chunk (trained from the frozen params with that
+    chunk's dropout keys) — epochs_run[r] marks where run r's real history
+    ends."""
+    from ..parallel.mesh import pad_to_multiple
+
+    if constraint is not None and constraint_factory is not None:
+        raise ValueError("pass either constraint or constraint_factory")
+    if (constraint_factory is None) != (rhos is None):
+        raise ValueError("constraint_factory and rhos go together")
+    if len(val_x) == 0:
+        raise ValueError(
+            "fit_multi_run() needs a non-empty validation split (early "
+            "stopping and best-snapshot retention monitor val_loss)"
+        )
+    cfg = train_cfg
+    if cfg.epochs_per_dispatch < 1:
+        raise ValueError(
+            f"TrainConfig.epochs_per_dispatch must be >= 1, got "
+            f"{cfg.epochs_per_dispatch}"
+        )
+    seeds = np.asarray(seeds)
+    n_runs = len(seeds)
+    if mesh is not None and n_runs % mesh.devices.size:
+        raise ValueError(
+            f"runs axis ({n_runs}) must divide across the {mesh.devices.size}"
+            f"-device mesh"
+        )
+    if constraint_factory is not None:
+        rhos_arr = jnp.asarray(np.asarray(rhos, np.float32))
+        if rhos_arr.shape != (n_runs,):
+            raise ValueError(
+                f"rhos must have one entry per run: got {rhos_arr.shape} "
+                f"for {n_runs} runs"
+            )
+        if constraint_init is None:
+            # every engine constraint's init is rho-independent (shapes +
+            # fixed power-iteration keys only) — probe with any value
+            constraint_init = constraint_factory(1.0).init
+    else:
+        rhos_arr = None
+
+    bs = cfg.batch_size
+    d_tr, n_true = pad_to_multiple(np.asarray(train_x, np.float32), bs)
+    l_tr, _ = pad_to_multiple(np.asarray(train_y, np.int32), bs)
+    vx = np.asarray(val_x, np.float32)
+    vy = np.asarray(val_y, np.int32)
+    vb = 1024 if len(vx) >= 1024 else max(8, len(vx))
+    d_v, _ = pad_to_multiple(vx, vb)
+    l_v, _ = pad_to_multiple(vy, vb)
+    if mesh is not None:
+        _, repl = _run_sharding(mesh)
+        put = lambda a: jax.device_put(a, repl)  # noqa: E731 — data replicates
+    else:
+        put = jax.device_put
+    d_train, l_train = put(d_tr), put(l_tr)
+    d_val, l_val = put(d_v), put(l_v)
+
+    params, state, opt_state, cstate, key_perm, key_drop = (
+        init_multi_run_state(model_cfg, optimizer := _make_optimizer(cfg),
+                             seeds, constraint_init, mesh=mesh))
+
+    def make_epoch_fn(e_per_call):
+        return build_multi_run_epoch_fn(
+            model_cfg, optimizer, constraint,
+            constraint_factory=constraint_factory, batch_size=bs,
+            shuffle=cfg.shuffle, epochs_per_call=e_per_call,
+            reshuffle_inner=cfg.reshuffle_each_epoch, mesh=mesh,
+        )
+
+    epoch_fns = {cfg.epochs_per_dispatch: make_epoch_fn(
+        cfg.epochs_per_dispatch)}
+    eval_fn = build_multi_run_eval_fn(model_cfg, batch_size=vb, mesh=mesh)
+
+    select_best = jax.jit(_where_runs, donate_argnums=(1,))
+    fold_runs = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(0, None)))
+
+    best_val = np.full((n_runs,), np.inf, np.float64)
+    best = None  # stacked (params, state, opt_state) on device, per run
+    best_epoch = np.zeros((n_runs,), np.int64)
+    wait = np.zeros((n_runs,), np.int64)
+    epochs_run = np.zeros((n_runs,), np.int64)
+    history = {"loss": [], "acc": [], "val_loss": [], "val_acc": []}
+
+    ep_stride = cfg.epochs_per_dispatch
+    for epoch in range(0, cfg.epochs, ep_stride):
+        active_np = wait < cfg.patience
+        if not active_np.any():
+            break
+        this_stride = min(ep_stride, cfg.epochs - epoch)
+        if this_stride not in epoch_fns:
+            epoch_fns[this_stride] = make_epoch_fn(this_stride)
+        pk = fold_runs(key_perm, epoch if cfg.reshuffle_each_epoch else 0)
+        dk = fold_runs(key_drop, epoch)
+        active = jnp.asarray(active_np)
+        params, state, opt_state, cstate, mloss, macc = epoch_fns[
+            this_stride
+        ](params, state, opt_state, cstate, d_train, l_train, pk, dk,
+          active, rhos_arr, n_true)
+        vl, va = eval_fn(params, state, d_val, l_val, len(vx))
+        vl_np = np.asarray(vl, np.float64)
+        history["loss"].append(np.asarray(mloss))
+        history["acc"].append(np.asarray(macc))
+        history["val_loss"].append(vl_np)
+        history["val_acc"].append(np.asarray(va))
+        epochs_run += np.where(active_np, this_stride, 0)
+
+        improved = (vl_np < best_val) & active_np
+        better = jnp.asarray(improved)
+        cur = (params, state, opt_state)
+        if best is None:
+            best = jax.tree.map(jnp.copy, cur)
+        else:
+            best = select_best(better, jax.tree.map(jnp.copy, cur), best)
+        best_val = np.where(improved, vl_np, best_val)
+        best_epoch = np.where(improved, epochs_run, best_epoch)
+        # Keras EarlyStopping semantics per run: reset on improvement, else
+        # accumulate whole-dispatch strides (Trainer.fit does the same)
+        wait = np.where(improved, 0, wait + np.where(active_np, this_stride,
+                                                     0))
+
+    if best is None:  # epochs == 0
+        best = (params, state, opt_state)
+    best_params, best_state, best_opt = jax.tree.map(np.asarray, best)
+    return {
+        "params": params,
+        "state": state,
+        "opt_state": opt_state,
+        "constraint_state": cstate,
+        "best_params": best_params,
+        "best_state": best_state,
+        "best_opt_state": best_opt,
+        "best_val_loss": best_val,
+        "best_epoch": best_epoch,
+        "epochs_run": epochs_run,
+        "history": {k: np.stack(v) if v else np.zeros((0, n_runs))
+                    for k, v in history.items()},
+    }
+
+
+def _make_optimizer(cfg):
+    from .trainer import adam_optimizer
+
+    return adam_optimizer(cfg.learning_rate)

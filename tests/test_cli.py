@@ -282,3 +282,61 @@ class TestCLI:
         # jax profiler writes a plugins/profile tree
         found = list((tmp_path / "trace").rglob("*"))
         assert found, "no trace artifacts written"
+
+
+class TestTrainMulti:
+    def test_subcommand_table_names_agree(self):
+        """Every _SUBCOMMANDS key must be exactly the name its add-fn
+        registers (regression: train-multi was parsed but undispatched —
+        KeyError only at runtime, caught by a live drive in round 3)."""
+        import argparse
+
+        from asr_using_robust_nn_tpu.cli import main as cli
+
+        ap = argparse.ArgumentParser()
+        sub = ap.add_subparsers(dest="cmd")
+        for key, (add_fn, _) in cli._SUBCOMMANDS.items():
+            before = set(sub.choices)
+            add_fn(sub)
+            assert set(sub.choices) - before == {key}
+
+    def test_train_multi_grid(self, artifacts, corpus, capsys):
+        """2 seeds x 2 rhos fused grid via the CLI: per-run checkpoints
+        restorable, JSON summary with 4 runs, stronger rho -> smaller
+        Lipschitz product."""
+        import json as _json
+
+        ck = corpus / "ck_multi"
+        rc = main([
+            "train-multi", "--task", "digit", "--variant", "constrained",
+            "--constraint", "simple", "--seeds", "0,1",
+            "--rhos", "0.1,5.0", "--data", str(artifacts),
+            "--ckpt", str(ck), "--epochs", "2", "--epochs-per-dispatch", "2",
+            "--batch-size", "8", "--patience", "4",
+        ])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["n_runs"] == 4
+        assert [r["seed"] for r in out["runs"]] == [0, 0, 1, 1]
+        assert [r["rho"] for r in out["runs"]] == [0.1, 5.0, 0.1, 5.0]
+        from asr_using_robust_nn_tpu.cli.main import load_model, model_cfg_for
+        from asr_using_robust_nn_tpu.constraints.lipschitz import (
+            get_norms,
+            get_upper_lipschitz,
+        )
+
+        cfg = model_cfg_for("digit", "constrained")
+        lips = []
+        for r in out["runs"]:
+            p, _ = load_model(r["ckpt"], cfg)
+            lips.append(float(get_upper_lipschitz(get_norms(p))))
+        assert lips[0] < lips[1] and lips[2] < lips[3], lips
+
+    def test_train_multi_arg_errors(self, artifacts, capsys):
+        assert main(["train-multi", "--task", "digit", "--seeds", "a,b",
+                     "--data", str(artifacts), "--ckpt", "/tmp/x"]) == 2
+        assert "comma-separated ints" in capsys.readouterr().err
+        assert main(["train-multi", "--task", "digit", "--seeds", "0",
+                     "--rhos", "0.1", "--data", str(artifacts),
+                     "--ckpt", "/tmp/x"]) == 2
+        assert "constrained" in capsys.readouterr().err
