@@ -359,9 +359,9 @@ def measure_tpu(quick: bool = False) -> dict:
     # each run carries its OWN weights/grads/Adam state, so stacking runs
     # multiplies the dominant weight traffic R-fold as well; what fusion
     # buys is shared input/activation reads and one dispatch instead of R.
-    # Measured on v5e at R=8 (a seed-study width): 1.28x aggregate vs 8
-    # sequential single-run epochs (MFU 14.7% vs 11.4%) — real but modest,
-    # and honestly reported as `multi_run_scaling_vs_single`. The
+    # Measured on v5e at R=8 (a seed-study width): 0.83-1.28x aggregate vs
+    # 8 sequential single-run epochs across tunnel windows — compute
+    # parity, honestly reported as `multi_run_scaling_vs_single`. The
     # wall-clock win of train-multi is amortizing host round-trips and
     # compiles across a whole seeds x rhos grid, not MXU fill.
     from asr_using_robust_nn_tpu.train.multi_run import (
