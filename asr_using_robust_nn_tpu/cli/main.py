@@ -171,6 +171,40 @@ def _add_profile(sub):
     p.add_argument("--batch-size", type=int, default=512)
 
 
+def _add_infer(sub):
+    p = sub.add_parser(
+        "infer",
+        help="classify WAV files end-to-end (decode -> fused MFCC -> "
+             "standardize -> predict as one compiled program per padding "
+             "bucket; serve/engine.py)")
+    p.add_argument("--task", choices=["digit", "speaker"], default="digit")
+    p.add_argument("--variant", choices=["unconstrained", "constrained"],
+                   default="unconstrained")
+    p.add_argument("--ckpt", required=True,
+                   help="Orbax ckpt dir (train --ckpt) or Keras .h5")
+    p.add_argument("--data", default=None,
+                   help="prepare-data artifact dir, used to re-derive the "
+                        "train-time scaler moments (required unless "
+                        "--no-standardize)")
+    p.add_argument("--no-standardize", action="store_true")
+    p.add_argument("--audio", required=True, nargs="+",
+                   help="WAV file(s) and/or directories of WAVs")
+    p.add_argument("--agg", choices=["none", "vote", "mean"], default=None,
+                   help="long-recording aggregation: slice into 1-s windows "
+                        "(reference speaker protocol) and majority-vote or "
+                        "mean-probability per file; default vote for "
+                        "--task speaker, none for digit")
+    p.add_argument("--backend", default="auto",
+                   help="frontend kernel (frontend/mfcc.py; default auto)")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile every padding bucket and report warm "
+                        "serving latency percentiles")
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated ascending batch-padding ladder "
+                        "(default 16,64,256,1024); each bucket compiles one "
+                        "program")
+
+
 def _add_eval(sub):
     p = sub.add_parser("evaluate", help="clean test eval + confusion matrix")
     p.add_argument("--task", choices=["digit", "speaker"], default="digit")
@@ -810,6 +844,74 @@ def cmd_evaluate(args):
                       "confusion_matrix": conf.tolist()}))
 
 
+def cmd_infer(args):
+    from ..serve.engine import InferenceEngine
+
+    kw = {}
+    if args.buckets is not None:
+        try:
+            kw["buckets"] = tuple(int(b) for b in args.buckets.split(","))
+        except ValueError:
+            print(f"error: --buckets must be comma-separated ints, got "
+                  f"{args.buckets!r}", file=sys.stderr)
+            return 2
+    standardize = not args.no_standardize
+    if standardize and args.data is None:
+        print("error: --data (the training artifact dir) is required to "
+              "re-derive the scaler; pass --no-standardize for models "
+              "trained on raw features", file=sys.stderr)
+        return 2
+    paths = []
+    for a in args.audio:
+        if os.path.isdir(a):
+            found = sorted(
+                os.path.join(a, f) for f in os.listdir(a)
+                if f.lower().endswith(".wav"))
+            if not found:
+                print(f"error: no .wav files under {a!r}", file=sys.stderr)
+                return 2
+            paths.extend(found)
+        elif os.path.exists(a):
+            paths.append(a)
+        else:
+            print(f"error: {a!r} is neither a WAV file nor a directory",
+                  file=sys.stderr)
+            return 2
+    try:
+        engine = InferenceEngine.from_checkpoint(
+            args.task, args.variant, args.ckpt, artifacts_dir=args.data,
+            standardize=standardize, backend=args.backend, **kw)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    agg = args.agg if args.agg is not None else (
+        "vote" if args.task == "speaker" else "none")
+    if args.warmup:
+        engine.warmup()
+    results = engine.classify_files(paths,
+                                    agg=None if agg == "none" else agg)
+    out = []
+    for r in results:
+        rec = {"path": r["path"], "label": (None if r["label"] is None
+                                            else int(r["label"]))}
+        if "n_windows" in r:
+            rec["n_windows"] = r["n_windows"]
+            rec["window_labels"] = [int(v) for v in r["window_labels"]]
+        if r["label"] is not None:
+            p = r["probs"]
+            rec["confidence"] = float(
+                p.mean(axis=0)[r["label"]] if p.ndim == 2 else p[r["label"]])
+        print(f"{rec['path']}: label={rec['label']}"
+              + (f" windows={rec['n_windows']}" if "n_windows" in rec else ""))
+        out.append(rec)
+    print(json.dumps({
+        "results": out, "n_files": len(out), "task": args.task,
+        "variant": args.variant, "aggregation": agg,
+        "frontend_backend": engine._fe.backend,
+        "latency": engine.latency_stats(),
+    }))
+
+
 # registration + dispatch in ONE table so a subcommand can never be parsed
 # but undispatched (KeyError at runtime — caught by a live drive, round 3)
 _SUBCOMMANDS = {
@@ -821,6 +923,7 @@ _SUBCOMMANDS = {
     "bench": (_add_bench, lambda a: cmd_bench(a)),
     "profile": (_add_profile, lambda a: cmd_profile(a)),
     "evaluate": (_add_eval, lambda a: cmd_evaluate(a)),
+    "infer": (_add_infer, lambda a: cmd_infer(a)),
 }
 
 

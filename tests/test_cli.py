@@ -340,3 +340,61 @@ class TestTrainMulti:
                      "--rhos", "0.1", "--data", str(artifacts),
                      "--ckpt", "/tmp/x"]) == 2
         assert "constrained" in capsys.readouterr().err
+
+
+class TestInfer:
+    def test_infer_digit_dir(self, artifacts, trained_pair, corpus, capsys):
+        """Serving CLI end-to-end: WAV dir -> per-file labels + latency
+        stats, one compiled program per padding bucket (serve/engine.py)."""
+        cu, _ = trained_pair
+        rc = main([
+            "infer", "--task", "digit", "--variant", "unconstrained",
+            "--ckpt", str(cu), "--data", str(artifacts),
+            "--audio", str(corpus / "data" / "zero"),
+            "--buckets", "16", "--warmup",
+        ])
+        assert rc == 0
+        summ = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summ["n_files"] == 10
+        assert all(0 <= r["label"] < 10 for r in summ["results"])
+        assert summ["latency"]["n"] >= 1 and summ["latency"]["p50_ms"] > 0
+        assert summ["frontend_backend"] == "xla"  # CPU auto resolution
+
+    def test_infer_matches_engine(self, artifacts, trained_pair, corpus,
+                                  capsys):
+        """The CLI's labels equal the library engine's on the same files."""
+        from asr_using_robust_nn_tpu.serve import InferenceEngine
+
+        cu, _ = trained_pair
+        wavs = str(corpus / "data" / "one")
+        rc = main(["infer", "--task", "digit", "--ckpt", str(cu),
+                   "--data", str(artifacts), "--audio", wavs,
+                   "--buckets", "16"])
+        assert rc == 0
+        summ = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        eng = InferenceEngine.from_checkpoint(
+            "digit", "unconstrained", str(cu), artifacts_dir=str(artifacts),
+            buckets=(16,))
+        res = eng.classify_files([r["path"] for r in summ["results"]])
+        assert [r["label"] for r in summ["results"]] == \
+            [r["label"] for r in res]
+
+    def test_infer_arg_errors(self, artifacts, trained_pair, tmp_path,
+                              capsys):
+        cu, _ = trained_pair
+        assert main(["infer", "--task", "digit", "--ckpt", str(cu),
+                     "--audio", "/tmp/definitely-missing.wav"]) == 2
+        assert "--data" in capsys.readouterr().err
+        assert main(["infer", "--task", "digit", "--ckpt", str(cu),
+                     "--data", str(artifacts),
+                     "--audio", str(tmp_path / "missing.wav")]) == 2
+        assert "neither" in capsys.readouterr().err
+        empty = tmp_path / "emptydir"
+        empty.mkdir()
+        assert main(["infer", "--task", "digit", "--ckpt", str(cu),
+                     "--data", str(artifacts), "--audio", str(empty)]) == 2
+        assert "no .wav" in capsys.readouterr().err
+        assert main(["infer", "--task", "digit", "--ckpt", str(cu),
+                     "--data", str(artifacts), "--audio", str(empty),
+                     "--buckets", "4,x"]) == 2
+        assert "comma-separated" in capsys.readouterr().err
