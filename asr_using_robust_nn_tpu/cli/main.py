@@ -147,6 +147,28 @@ def _add_attack(sub):
     p.add_argument("--max-samples", type=int, default=None)
 
 
+def _add_certify(sub):
+    p = sub.add_parser(
+        "certify",
+        help="certified-accuracy curves from the sound Lipschitz bound "
+             "(constraints/certify.py): a PROVABLE lower bound on accuracy "
+             "under any attack in the norm ball — the guarantee-side twin "
+             "of `attack`")
+    p.add_argument("--task", choices=["digit", "speaker"], default="digit")
+    p.add_argument("--data", required=True)
+    p.add_argument("--constrained", required=True, help="ckpt dir or .h5")
+    p.add_argument("--unconstrained", required=True, help="ckpt dir or .h5")
+    p.add_argument("--norm", choices=["l2", "linf"], default="l2",
+                   help="perturbation ball; linf uses the sqrt(d) "
+                        "containment (matches the fgsm/pgd attack space)")
+    p.add_argument("--strengths", default=None,
+                   help="comma-separated eps grid (default: the fgsm "
+                        "standardized grid for linf, 10 points to the "
+                        "90th-percentile certified radius for l2)")
+    p.add_argument("--out", default=None, help="write curves JSON here")
+    p.add_argument("--plot", default=None, help="write comparison plot PNG")
+
+
 def _add_dolphin(sub):
     p = sub.add_parser("dolphin", help="generate ultrasound attack WAV")
     p.add_argument("--voice", required=True)
@@ -726,6 +748,55 @@ def cmd_attack(args):
     print(json.dumps(res.as_dict()))
 
 
+def cmd_certify(args):
+    from ..attacks.sweeps import GRIDS
+    from ..constraints.certify import certified_radii, certify_sweep
+    from ..data import load_artifacts, standardize_fit_all
+
+    if not os.path.exists(os.path.join(args.data, "train_data.npy")):
+        print(f"error: {args.data!r} has no train_data.npy — run "
+              f"`asrtpu prepare-data` first", file=sys.stderr)
+        return 2
+    d = load_artifacts(args.data)
+    cfg_c = model_cfg_for(args.task, "constrained")
+    cfg_u = model_cfg_for(args.task, "unconstrained")
+    pc, sc = load_model(args.constrained, cfg_c)
+    pu, su = load_model(args.unconstrained, cfg_u)
+    # the certificate lives in the space the model consumes: standardized
+    # features, like the white-box attacks with --standardize before
+    _, _, te, _, _ = standardize_fit_all(d.train_data, d.dev_data,
+                                         d.test_data)
+    if args.strengths:
+        eps = [float(s) for s in args.strengths.split(",")]
+    elif args.norm == "linf":
+        eps = [0.0] + list(GRIDS["fgsm_eps_std"])
+    else:
+        # scale the default grid to where the certificates actually live —
+        # for BOTH models, so a degenerate one can't collapse the grid
+        tops = []
+        for cfg_m, pm, sm in ((cfg_c, pc, sc), (cfg_u, pu, su)):
+            rm, cm, _ = certified_radii(cfg_m, pm, sm, te, d.test_label)
+            if cm.any():
+                tops.append(float(np.percentile(rm[cm], 90)))
+        eps = list(np.linspace(0.0, max(tops + [1e-6]), 10))
+    res = certify_sweep(cfg_c, pc, sc, cfg_u, pu, su, te, d.test_label,
+                        eps, norm=args.norm)
+    for s, ac, au in zip(res.strengths, res.certified_constrained,
+                         res.certified_unconstrained):
+        print(f"eps={s:.6g}: certified constrained={ac*100:.2f}% "
+              f"unconstrained={au*100:.2f}%")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res.as_dict(), f, indent=2)
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        ax = res.plot()
+        ax.figure.savefig(args.plot, dpi=120)
+    print(json.dumps(res.as_dict()))
+
+
 def cmd_dolphin(args):
     from ..attacks.dolphin import generate_dolphin_wav
 
@@ -919,6 +990,7 @@ _SUBCOMMANDS = {
     "train": (_add_train, lambda a: cmd_train(a)),
     "train-multi": (_add_train_multi, lambda a: cmd_train_multi(a)),
     "attack": (_add_attack, lambda a: cmd_attack(a)),
+    "certify": (_add_certify, lambda a: cmd_certify(a)),
     "dolphin": (_add_dolphin, lambda a: cmd_dolphin(a)),
     "bench": (_add_bench, lambda a: cmd_bench(a)),
     "profile": (_add_profile, lambda a: cmd_profile(a)),

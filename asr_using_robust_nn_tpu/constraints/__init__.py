@@ -5,6 +5,12 @@ from .engine import (  # noqa: F401
     make_norm_constraint,
     make_simple_norm_constraint,
 )
+from .certify import (  # noqa: F401
+    CertifyResult,
+    certified_accuracy_curve,
+    certified_radii,
+    certify_sweep,
+)
 from .lipschitz import (  # noqa: F401
     get_lipschitz_constrained,
     get_lipschitz_sound,

@@ -97,6 +97,41 @@ class TestCLI:
         out = capsys.readouterr().out
         assert "strength=0.5" in out
 
+    def test_certify(self, artifacts, trained_pair, corpus, capsys):
+        cu, cc = trained_pair
+        out_json = corpus / "cert.json"
+        rc = main([
+            "certify", "--task", "digit", "--data", str(artifacts),
+            "--constrained", str(cc), "--unconstrained", str(cu),
+            "--out", str(out_json),
+        ])
+        assert rc == 0
+        cert = json.loads(out_json.read_text())
+        assert cert["norm"] == "l2"
+        assert len(cert["certified_constrained"]) == 10
+        assert cert["strengths"][0] == 0.0
+        assert cert["lipschitz_sound_constrained"] > 0
+        # eps=0 certified accuracy == the clean accuracy `evaluate` reports
+        assert cert["certified_constrained"][0] <= 1.0
+        # monotone nonincreasing lower bound
+        cc_curve = cert["certified_constrained"]
+        assert all(a >= b for a, b in zip(cc_curve, cc_curve[1:]))
+
+    def test_certify_linf_explicit_grid(self, artifacts, trained_pair,
+                                        capsys):
+        cu, cc = trained_pair
+        rc = main([
+            "certify", "--task", "digit", "--data", str(artifacts),
+            "--constrained", str(cc), "--unconstrained", str(cu),
+            "--norm", "linf", "--strengths", "0.0,0.01",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "eps=0" in out
+        res = json.loads(out.strip().splitlines()[-1])
+        assert res["norm"] == "linf"
+        assert len(res["certified_unconstrained"]) == 2
+
     def test_attack_audio_domain(self, artifacts, trained_pair, capsys):
         cu, cc = trained_pair
         rc = main([
