@@ -107,7 +107,8 @@ def make_custom_constraint(rho: float) -> Constraint:
 
 
 def make_simple_norm_constraint(
-    rho: float, affected_layers_indices: tuple[int, ...] = (), n_iter: int = 16
+    rho: float, affected_layers_indices: tuple[int, ...] = (),
+    n_iter: int = 16, matvec_dtype=None,
 ) -> Constraint:
     """Algorithm 2 (`simple_norm_constraint`, Constraints.py:135-189):
     per layer, sigma = ||W_m^T ... W_1^T||_2 recomputed from the LIVE
@@ -120,6 +121,12 @@ def make_simple_norm_constraint(
 
     The product norm runs as power iteration with matvecs through the layer
     chain — never materializing the product — with a persistent vector.
+
+    `matvec_dtype=jnp.bfloat16` runs those matvecs against once-downcast
+    kernel copies (f32 accumulation): the projection's per-step HBM traffic
+    drops ~2x at an O(1e-3)-relative sigma perturbation — the training
+    dynamics converge sigma -> rho over batches either way (VERDICT r3
+    item 2; parity-gated in tests/test_constraints.py).
     """
 
     def init(params):
@@ -155,7 +162,8 @@ def make_simple_norm_constraint(
         # followed by the exact scalar recurrence
         #   f_k = (rho / sigma_k)^(1/m),  sigma_{k+1} = sigma_k * f_k.
         sigma, u = product_spectral_norm_with_state(
-            ws, cstate["u"], n_iter=n_iter, eps=_EPS
+            ws, cstate["u"], n_iter=n_iter, eps=_EPS,
+            matvec_dtype=matvec_dtype,
         )
         for i in affected:
             factor = (rho / (sigma + _EPS)) ** (1.0 / m)

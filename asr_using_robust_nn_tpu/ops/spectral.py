@@ -65,6 +65,7 @@ def product_spectral_norm_with_state(
     u: jnp.ndarray | None = None,
     n_iter: int = 64,
     eps: float = _EPS,
+    matvec_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(sigma, u_next) for ||W_m^T @ ... @ W_1^T||_2 without materializing
     the product for the power steps (matvecs run right-to-left), with a
@@ -75,6 +76,16 @@ def product_spectral_norm_with_state(
     `extract_features_construct_dataset.py:188-194`. `eps` is exposed
     because the constraint engine uses the reference's np.spacing(1)
     (docs/PARITY.md row 10).
+
+    `matvec_dtype` (e.g. jnp.bfloat16): run the matvecs against a
+    once-downcast copy of each kernel, accumulating in f32. The downcasts
+    are loop-invariant, so XLA hoists them out of the power loop — HBM
+    traffic for the in-step projection drops from 2*n_iter full-precision
+    kernel reads to ONE f32 read + 2*n_iter half-width reads (VERDICT r3
+    item 2: the power iteration re-reads every kernel in-step). The sigma
+    estimate moves by O(1e-3) relative on these kernels — parity-gated by
+    tests/test_constraints.py; the vector algebra (normalize, carry) stays
+    f32 so the iteration itself cannot drift.
     """
     d_out = ws[-1].shape[1]  # product maps R^{d_out_last} <- ... actually rows
     if u is None:
@@ -84,17 +95,31 @@ def product_spectral_norm_with_state(
     def nrm(v):
         return v / (jnp.linalg.norm(v) + eps)
 
+    if matvec_dtype is not None:
+        mws = [w.astype(matvec_dtype) for w in ws]
+
+        def mv(w, x):
+            return jax.lax.dot(
+                w, x.astype(matvec_dtype),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        mws = ws
+
+        def mv(w, x):
+            return w @ x
+
     def apply(u):
         # P = W_m^T ... W_1^T, P: (d_out_m, d_in_1). P^T u then P v.
         x = u
-        for w in reversed(ws):  # P^T = W_1 ... W_m
-            x = w @ x
+        for w in reversed(mws):  # P^T = W_1 ... W_m
+            x = mv(w, x)
         return x
 
     def apply_t(v):
         x = v
-        for w in ws:
-            x = w.T @ x
+        for w in mws:
+            x = mv(w.T, x)
         return x
 
     def body(_, u):

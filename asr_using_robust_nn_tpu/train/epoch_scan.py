@@ -71,8 +71,9 @@ def epoch_program(model_cfg: MLPConfig, optimizer, constraint=None,
     would train a fixed sub-network.
     """
 
-    def one_epoch(params, state, opt_state, cstate, data, labels, perm_key,
-                  drop_key, n_true):
+    def make_batches(data, labels, perm_key, n_true):
+        """Shuffle-gather the split into (n_batches, batch_size, ...) —
+        the one per-epoch pass over the whole dataset."""
         n_pad = data.shape[0]
         n_batches = n_pad // batch_size
         if shuffle:
@@ -87,7 +88,9 @@ def epoch_program(model_cfg: MLPConfig, optimizer, constraint=None,
         ys = labels[perm].reshape(n_batches, batch_size)
         row_ids = perm.reshape(n_batches, batch_size)
         ws = (row_ids < n_true).astype(jnp.float32)
+        return xs, ys, ws
 
+    def run_scan(params, state, opt_state, cstate, xs, ys, ws, drop_key):
         def body(carry, batch):
             params, state, opt_state, cstate, i = carry
             x, y, w = batch
@@ -111,16 +114,44 @@ def epoch_program(model_cfg: MLPConfig, optimizer, constraint=None,
         mean_acc = jnp.sum(accs * ns) / total
         return params, state, opt_state, cstate, mean_loss, mean_acc
 
+    def one_epoch(params, state, opt_state, cstate, data, labels, perm_key,
+                  drop_key, n_true):
+        xs, ys, ws = make_batches(data, labels, perm_key, n_true)
+        return run_scan(params, state, opt_state, cstate, xs, ys, ws,
+                        drop_key)
+
     if epochs_per_call == 1:
         epoch = one_epoch
+    elif not reshuffle_inner:
+        # tf.data reshuffle_each_iteration=False semantics: every inner
+        # epoch reuses ONE permutation — so gather the shuffled batch
+        # tensor ONCE per dispatch instead of once per inner epoch. The
+        # gather moves the whole split (2x 58 MB at digit scale) through
+        # HBM; hoisting it out of the fori_loop is guaranteed here rather
+        # than left to XLA's loop-invariant code motion (VERDICT r3
+        # item 2). Bit-identical to the unhoisted form: same perm, same
+        # batch order, same op sequence per epoch.
+
+        def epoch(params, state, opt_state, cstate, data, labels, perm_key,
+                  drop_key, n_true):
+            xs, ys, ws = make_batches(data, labels, perm_key, n_true)
+
+            def body(e, carry):
+                params, state, opt_state, cstate, _, _ = carry
+                dk = jax.random.fold_in(drop_key, e)  # always fresh dropout
+                return run_scan(params, state, opt_state, cstate, xs, ys,
+                                ws, dk)
+
+            init = (params, state, opt_state, cstate, jnp.float32(0),
+                    jnp.float32(0))
+            return jax.lax.fori_loop(0, epochs_per_call, body, init)
     else:
 
         def epoch(params, state, opt_state, cstate, data, labels, perm_key,
                   drop_key, n_true):
             def body(e, carry):
                 params, state, opt_state, cstate, _, _ = carry
-                pk = (jax.random.fold_in(perm_key, e)
-                      if reshuffle_inner else perm_key)
+                pk = jax.random.fold_in(perm_key, e)
                 dk = jax.random.fold_in(drop_key, e)  # always fresh dropout
                 return one_epoch(params, state, opt_state, cstate, data,
                                  labels, pk, dk, n_true)

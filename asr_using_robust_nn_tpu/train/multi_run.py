@@ -370,4 +370,5 @@ def fit_multi_run(
 def _make_optimizer(cfg):
     from .trainer import adam_optimizer
 
-    return adam_optimizer(cfg.learning_rate)
+    return adam_optimizer(cfg.learning_rate,
+                          getattr(cfg, "adam_moments_dtype", "float32"))

@@ -44,12 +44,69 @@ class TrainConfig:
     epochs_per_dispatch: int = 1  # device-resident only: fuse E epochs into
     # one XLA dispatch (amortizes the host round-trip); history/early-stop
     # granularity coarsens to E epochs
+    adam_moments_dtype: str = "float32"  # 'bfloat16' halves the Adam-state
+    # HBM traffic of every step (storage only; math stays f32) — see
+    # adam_optimizer. Parity-gated; VERDICT r3 item 2.
 
 
-def adam_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
+def _scale_by_adam_stored(b1: float, b2: float, eps: float, dtype):
+    """optax.scale_by_adam with the m/v moments STORED in `dtype` (e.g.
+    bfloat16) while every arithmetic step runs f32: read-upcast, update,
+    bias-correct, write-downcast. The moments are the largest non-weight
+    HBM term of the fused train step (m and v each read+written per step —
+    VERDICT r3 item 2); bf16 storage halves that traffic. Accuracy is
+    parity-gated (tests/test_models_train.py::TestBF16AdamMoments): Adam's
+    moment EMAs tolerate ~3-decimal-digit storage — the update direction is
+    a RATIO of the two moments, so correlated rounding largely cancels."""
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p, dtype=dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(z, params),
+            nu=jax.tree.map(z, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        mu_f = jax.tree.map(
+            lambda m, g: b1 * m.astype(g.dtype) + (1 - b1) * g,
+            state.mu, grads)
+        nu_f = jax.tree.map(
+            lambda v, g: b2 * v.astype(g.dtype) + (1 - b2) * g * g,
+            state.nu, grads)
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        updates = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu_f, nu_f)
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree.map(lambda x: x.astype(dtype), mu_f),
+            nu=jax.tree.map(lambda x: x.astype(dtype), nu_f),
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
+def adam_optimizer(
+    lr: float = 1e-3, moments_dtype: str = "float32"
+) -> optax.GradientTransformation:
     """Keras 'adam' defaults: b1=0.9, b2=0.999, eps=1e-7 (optax default is
-    1e-8 — the 1e-7 here matches tf.keras.optimizers.Adam)."""
-    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-7)
+    1e-8 — the 1e-7 here matches tf.keras.optimizers.Adam).
+
+    moments_dtype='bfloat16' stores the Adam m/v state half-width (math
+    stays f32) — see `_scale_by_adam_stored`. State pytree structure is
+    identical to optax.adam's (chain of ScaleByAdamState + scale), so
+    checkpoints and the fused-epoch/multi-run paths are agnostic to it."""
+    if moments_dtype == "float32":
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-7)
+    return optax.chain(
+        _scale_by_adam_stored(0.9, 0.999, 1e-7, jnp.dtype(moments_dtype)),
+        optax.scale(-lr),
+    )
 
 
 def cce_from_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -105,7 +162,8 @@ class Trainer:
         self.constraint = constraint
         self.constraint_state = constraint_state
         self.epoch_callbacks = tuple(epoch_callbacks)
-        self.optimizer = adam_optimizer(self.cfg.learning_rate)
+        self.optimizer = adam_optimizer(self.cfg.learning_rate,
+                                        self.cfg.adam_moments_dtype)
         self._build_steps()
 
     def _build_steps(self):

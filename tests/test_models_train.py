@@ -637,3 +637,121 @@ class TestBF16Parity:
             assert float(jnp.min(w)) >= 0.0
         lip = product_norm_oracle(dense_kernels(r["params"]))
         assert lip <= 0.5 * 1.05
+
+
+class TestLeanTraffic:
+    """HBM-traffic levers (VERDICT r3 item 2): bf16-stored Adam moments,
+    bf16 power-iteration matvecs, and the hoisted epoch-scan gather must
+    all be parity-gated — the traffic drops, the math does not."""
+
+    def test_adam_moments_bf16_state_and_structure(self, rng):
+        from asr_using_robust_nn_tpu.train import adam_optimizer
+
+        params, _ = init_mlp(small_cfg(), jax.random.PRNGKey(0))
+        opt32 = adam_optimizer(1e-3)
+        opt16 = adam_optimizer(1e-3, "bfloat16")
+        s32, s16 = opt32.init(params), opt16.init(params)
+        # same pytree STRUCTURE (checkpoints/multi-run are agnostic)
+        assert (jax.tree.structure(s32) == jax.tree.structure(s16))
+        adam16 = s16[0]
+        assert adam16.count.dtype == jnp.int32
+        for leaf in jax.tree.leaves((adam16.mu, adam16.nu)):
+            assert leaf.dtype == jnp.bfloat16
+        # one update: f32-math parity within bf16 storage noise
+        g = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape).astype(np.float32)) * 0.1,
+            params)
+        u32, _ = opt32.update(g, s32, params)
+        u16, s16b = opt16.update(g, s16, params)
+        for a, b in zip(jax.tree.leaves(u32), jax.tree.leaves(u16)):
+            assert b.dtype == jnp.float32  # updates are full precision
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=1e-8)
+
+    def test_adam_moments_bf16_trained_parity(self, rng):
+        x, y = synthetic_task(rng, n=768)
+        acc = {}
+        for name, dt in [("f32", "float32"), ("bf16", "bfloat16")]:
+            tr = Trainer(small_cfg(),
+                         TrainConfig(batch_size=64, epochs=60, patience=1000,
+                                     seed=0, adam_moments_dtype=dt))
+            r = tr.fit(x[:600], y[:600], x[600:], y[600:])
+            _, a = tr.evaluate(r["best_params"], r["best_state"],
+                               x[600:], y[600:])
+            acc[name] = a
+            for leaf in jax.tree.leaves(r["params"]):
+                assert leaf.dtype == jnp.float32  # master weights f32
+        assert acc["f32"] > 0.85
+        assert abs(acc["f32"] - acc["bf16"]) < 0.02
+
+    def test_matvec_bf16_sigma_parity(self, rng):
+        from asr_using_robust_nn_tpu.ops.spectral import (
+            product_spectral_norm_with_state,
+        )
+
+        ws = [jnp.asarray(rng.standard_normal((a, b)).astype(np.float32))
+              for a, b in [(16, 32), (32, 16), (16, 4)]]
+        s32, _ = product_spectral_norm_with_state(ws, n_iter=64)
+        s16, _ = product_spectral_norm_with_state(
+            ws, n_iter=64, matvec_dtype=jnp.bfloat16)
+        assert abs(float(s16) - float(s32)) / float(s32) < 5e-3
+
+    def test_matvec_bf16_constrained_training(self, rng):
+        """simple_norm with bf16 matvecs still drives the product norm to
+        rho and keeps kernels f32/nonneg."""
+        from asr_using_robust_nn_tpu.constraints import (
+            make_simple_norm_constraint,
+        )
+
+        x, y = synthetic_task(rng, n=256)
+        cfg = small_cfg(nonneg=True)
+        con = make_simple_norm_constraint(0.5, n_iter=16,
+                                          matvec_dtype=jnp.bfloat16)
+        p0, _ = init_mlp(cfg, jax.random.PRNGKey(0))
+        tr = Trainer(cfg, TrainConfig(batch_size=64, epochs=3, patience=100),
+                     constraint=con.apply, constraint_state=con.init(p0))
+        r = tr.fit(x[:200], y[:200], x[200:], y[200:])
+        for w in dense_kernels(r["params"]):
+            assert w.dtype == jnp.float32
+            assert float(jnp.min(w)) >= 0.0
+        lip = product_norm_oracle(dense_kernels(r["params"]))
+        assert lip <= 0.5 * 1.06
+
+    def test_hoisted_gather_fused_equals_sequential(self, rng):
+        """epochs_per_call=2 + reshuffle_inner=False now gathers the
+        shuffled split ONCE per dispatch; results must stay exactly equal
+        to two single-epoch dispatches sharing the perm key (shuffle ON —
+        the gather itself is what got hoisted)."""
+        import copy
+
+        from asr_using_robust_nn_tpu.train import adam_optimizer
+        from asr_using_robust_nn_tpu.train.epoch_scan import build_epoch_fn
+
+        x, y = synthetic_task(rng, n=160)  # 160 rows, bs=64 -> ragged pad
+        cfg = small_cfg(dropout=(0.3, 0.3))
+        opt = adam_optimizer()
+        params, state = init_mlp(cfg, jax.random.PRNGKey(0))
+        opt_state = opt.init(params)
+        from asr_using_robust_nn_tpu.parallel.mesh import pad_to_multiple
+
+        xd, n_true = pad_to_multiple(np.asarray(x, np.float32), 64)
+        yd, _ = pad_to_multiple(np.asarray(y, np.int32), 64)
+        xd, yd = jnp.asarray(xd), jnp.asarray(yd)
+        pk, dk = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+
+        fused = build_epoch_fn(cfg, opt, batch_size=64, shuffle=True,
+                               epochs_per_call=2, reshuffle_inner=False)
+        single = build_epoch_fn(cfg, opt, batch_size=64, shuffle=True,
+                                epochs_per_call=1)
+        f = fused(copy.deepcopy(params), copy.deepcopy(state),
+                  jax.tree.map(jnp.array, opt_state), None, xd, yd, pk, dk,
+                  n_true=n_true)
+        s = single(copy.deepcopy(params), copy.deepcopy(state),
+                   jax.tree.map(jnp.array, opt_state), None, xd, yd, pk,
+                   jax.random.fold_in(dk, 0), n_true=n_true)
+        s = single(s[0], s[1], s[2], None, xd, yd, pk,
+                   jax.random.fold_in(dk, 1), n_true=n_true)
+        for a, b in zip(jax.tree.leaves(f[0]), jax.tree.leaves(s[0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
