@@ -1,0 +1,721 @@
+"""Fused constrained train step as ONE Pallas TPU kernel.
+
+The XLA fused-epoch path (train/epoch_scan.py) is HBM-roofline-bound: a
+1.65M-param constrained step moves ~100+ MB — the weights are read for the
+forward AND the backward GEMMs, the gradients materialize in HBM, Adam
+re-reads weights+moments and writes all three back, the power-iteration
+projection re-reads every kernel, and the rescale is one more read+write
+(docs/ARCHITECTURE.md roofline; VERDICT r3 item 2). XLA cannot keep the
+weights resident across those op boundaries.
+
+This kernel can. One `pallas_call` per train step:
+
+  - the bf16 compute copies of all Dense kernels are DMA'd HBM->VMEM ONCE
+    and stay resident through forward, backward, the Adam tile loop, the
+    NonNeg clamp, the product power iteration, AND the constraint rescale;
+  - gradients NEVER touch HBM: dW is produced tile-by-tile on the MXU and
+    consumed immediately by a streamed Adam update (f32 master weights and
+    moments round-trip HBM exactly once per step, in row tiles);
+  - the power iteration's matvecs read the VMEM-resident bf16 kernels —
+    the projection's HBM traffic term (2*n_iter kernel reads per step on
+    the XLA path) drops to ZERO;
+  - the constraint rescale multiplies the VMEM copy in place; the f32
+    masters absorb the factor LAZILY at the next step's Adam load (the
+    `scales` vector carries exactly one step of deferred scaling), so the
+    rescale's HBM read+write disappears too.
+
+Per-step HBM traffic drops to: batch in + bf16 kernels in/out + f32
+masters in/out + moments in/out (~48 MB at the digit recipe vs ~100+ MB) —
+and the MXU work overlaps the streaming.
+
+Numerics: Dense matmuls run bf16 with f32 accumulation and activations are
+STORED bf16 for the backward pass — the same equivalence class as
+`MLPConfig.with_bf16()` (parity-gated at <2% trained accuracy,
+tests/test_models_train.py). BatchNorm statistics/backward, softmax/CCE,
+Adam math, and the constraint recurrence all run f32. Dropout uses the TPU
+hardware PRNG (`pltpu.prng_*`), regenerated (not stored) in the backward
+pass — distributionally equivalent to, but not bit-matched with, the XLA
+path's threefry draws (documented divergence; dropout=0 paths are
+value-comparable).
+
+Semantics mirrored from the reference recipe exactly where it matters:
+update order is Adam -> NonNeg clamp -> simple_norm projection (the
+callback ordering of `Voice digit recogniton/train_constraints.py:97-105`,
+SURVEY.md §3.3); the projection is the exact scalar recurrence of
+`constraints/engine.py::make_simple_norm_constraint` (sequential
+live-weight semantics collapsed per its derivation); BN uses row-weighted
+batch moments so padded rows are excluded exactly like
+`train/epoch_scan.py::_masked_forward_loss`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.mlp import MLPConfig
+
+__all__ = ["FusedStepSpec", "pack_state", "unpack_params",
+           "build_fused_step", "build_fused_epoch_fn"]
+
+_LANE = 128
+
+
+def _pad_to(n: int, m: int = _LANE) -> int:
+    return -(-n // m) * m
+
+
+@dataclass(frozen=True)
+class FusedStepSpec:
+    """Static geometry + hyperparameters of one fused step program."""
+
+    cfg: MLPConfig
+    batch: int
+    lr: float = 1e-3
+    rho: float | None = None     # simple_norm strength; None = no constraint
+    pi_iters: int = 4            # power-iteration steps per batch
+    adam_tile: int = 128         # Adam/master streaming row-tile
+    interpret: bool = False      # pallas interpreter (CPU tests)
+
+    @property
+    def dims(self) -> tuple[int, ...]:
+        c = self.cfg
+        return (c.in_dim,) + tuple(c.hidden) + (c.n_classes,)
+
+    @property
+    def pdims(self) -> tuple[int, ...]:
+        return tuple(_pad_to(d) for d in self.dims)
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.dims) - 1
+
+    @property
+    def dmax(self) -> int:
+        return max(self.pdims[1:])
+
+    def tiles(self, i: int) -> int:
+        return -(-self.pdims[i] // self.adam_tile)
+
+
+# --------------------------------------------------------------------------
+# state packing: standard (params, state, opt_state-like) <-> padded arrays
+# --------------------------------------------------------------------------
+
+def pack_state(spec: FusedStepSpec, params, state):
+    """-> fstate dict of padded device arrays. Adam moments start at zero
+    (pass through an existing fstate to continue them); `scales` starts at
+    1 (no deferred constraint factor); `count` at 0."""
+    c, pd = spec.cfg, spec.pdims
+    m = spec.n_layers
+    masters, w16 = [], []
+    for i, p in enumerate(params["layers"]):
+        w = np.zeros((pd[i], pd[i + 1]), np.float32)
+        w[: spec.dims[i], : spec.dims[i + 1]] = np.asarray(p["w"])
+        masters.append(jnp.asarray(w))
+        w16.append(jnp.asarray(w, jnp.bfloat16))
+    mw = [jnp.zeros_like(x) for x in masters]
+    vw = [jnp.zeros_like(x) for x in masters]
+
+    def stack_vec(getter, n_rows=m, dtype=np.float32, fill=0.0):
+        a = np.full((n_rows, spec.dmax), fill, dtype)
+        for i in range(n_rows):
+            v = getter(i)
+            if v is not None:
+                v = np.asarray(v)
+                a[i, : v.shape[0]] = v
+        return jnp.asarray(a)
+
+    small = {
+        "b": stack_vec(lambda i: params["layers"][i]["b"]),
+        "gamma": stack_vec(
+            lambda i: params["layers"][i].get("gamma")
+            if i < m - 1 else None),
+        "beta": stack_vec(
+            lambda i: params["layers"][i].get("beta")
+            if i < m - 1 else None),
+        "rmean": stack_vec(
+            lambda i: state["layers"][i].get("mean")
+            if i < m - 1 else None),
+        "rvar": stack_vec(
+            lambda i: state["layers"][i].get("var")
+            if i < m - 1 else None),
+    }
+    for k in ("b", "gamma", "beta"):
+        small["m_" + k] = jnp.zeros_like(small[k])
+        small["v_" + k] = jnp.zeros_like(small[k])
+    u = jax.random.normal(jax.random.PRNGKey(23), (1, pd[-1]), jnp.float32)
+    return {
+        "masters": tuple(masters), "w16": tuple(w16),
+        "mw": tuple(mw), "vw": tuple(vw),
+        "small": small,
+        "scales": jnp.ones((1, _LANE), jnp.float32),
+        "u": u,
+        "count": jnp.zeros((1,), jnp.int32),
+    }
+
+
+def unpack_params(spec: FusedStepSpec, fstate):
+    """fstate -> (params, state) in the standard pytree layout, with the
+    deferred constraint scales folded into the returned kernels."""
+    c = spec.cfg
+    m = spec.n_layers
+    layers, slayers = [], []
+    sm = fstate["small"]
+    for i in range(m):
+        w = (fstate["masters"][i] * fstate["scales"][0, i])[
+            : spec.dims[i], : spec.dims[i + 1]]
+        p = {"w": w, "b": sm["b"][i, : spec.dims[i + 1]]}
+        s = {}
+        if i < m - 1 and c.batch_norm:
+            p["gamma"] = sm["gamma"][i, : spec.dims[i + 1]]
+            p["beta"] = sm["beta"][i, : spec.dims[i + 1]]
+            s["mean"] = sm["rmean"][i, : spec.dims[i + 1]]
+            s["var"] = sm["rvar"][i, : spec.dims[i + 1]]
+        layers.append(p)
+        slayers.append(s)
+    return {"layers": layers}, {"layers": slayers}
+
+
+# --------------------------------------------------------------------------
+# the kernel
+# --------------------------------------------------------------------------
+
+def _make_kernel(spec: FusedStepSpec):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c = spec.cfg
+    m = spec.n_layers
+    pd = spec.pdims
+    B = spec.batch
+    eps_bn = c.bn_eps
+    mom = c.bn_momentum
+    b1, b2, eps_adam = 0.9, 0.999, 1e-7
+    eps_spacing = float(np.spacing(1.0))
+    drops = tuple(
+        (c.dropout[i] if i < len(c.dropout) else 0.0) for i in range(m - 1))
+    use_bn = c.batch_norm
+    T = spec.adam_tile
+
+    def kernel(*refs):
+        it = iter(refs)
+        # ---- inputs (order mirrors build_fused_step's operand list) ----
+        seed_ref = next(it)            # SMEM (1,) int32
+        count_ref = next(it)           # SMEM (1,) int32
+        x_ref = next(it)               # (B, pd0) f32 VMEM
+        y_ref = next(it)               # (B, 1) int32 VMEM
+        wrow_ref = next(it)            # (B, 1) f32 VMEM
+        scales_ref = next(it)          # (1, LANE) f32 VMEM
+        u_ref = next(it)               # (1, pd[-1]) f32 VMEM
+        w16_in = [next(it) for _ in range(m)]    # ANY (HBM)
+        mast_in = [next(it) for _ in range(m)]   # ANY
+        mw_in = [next(it) for _ in range(m)]     # ANY
+        vw_in = [next(it) for _ in range(m)]     # ANY
+        sm_in = {k: next(it) for k in _SMALL_KEYS}  # VMEM (m, dmax) f32
+        # ---- outputs ----
+        w16_out = [next(it) for _ in range(m)]   # ANY (aliased)
+        mast_out = [next(it) for _ in range(m)]  # ANY (aliased)
+        mw_out = [next(it) for _ in range(m)]    # ANY (aliased)
+        vw_out = [next(it) for _ in range(m)]    # ANY (aliased)
+        sm_out = {k: next(it) for k in _SMALL_KEYS}  # VMEM
+        scales_out = next(it)          # (1, LANE)
+        u_out = next(it)               # (1, pd[-1])
+        count_out = next(it)           # SMEM (1,)
+        loss_ref = next(it)            # (1, 1) f32 VMEM
+        acc_ref = next(it)             # (1, 1) f32 VMEM
+        # ---- scratch ----
+        w16 = [next(it) for _ in range(m)]       # VMEM bf16, resident
+        acts = [next(it) for _ in range(m)]      # VMEM bf16 (B, pd[i]):
+        # layer-i INPUT (acts[0] = cast of x)
+        xhats = [next(it) for _ in range(m - 1)]  # VMEM bf16 (B, pd[i+1])
+        muvec = next(it)               # VMEM f32 (m, dmax): batch mean
+        sdvec = next(it)               # VMEM f32 (m, dmax): rsqrt(var+eps)
+        da_buf = next(it)              # VMEM f32 (B, dmax) backward carry
+        probs_buf = next(it)           # VMEM f32 (B, pd[-1])
+        mtile = next(it)               # VMEM f32 (T, dmax) master tile
+        mwtile = next(it)              # VMEM f32 (T, dmax)
+        vwtile = next(it)              # VMEM f32 (T, dmax)
+        rowpad = next(it)              # VMEM f32 (1, dmax) pad scratch
+        copy_sems = next(it)           # DMA sems (m,)
+        tile_sems = next(it)           # DMA sems (4,)
+
+        def padrow(row):
+            """(d,) -> (dmax,) zero-padded via the scratch ref — Mosaic
+            cannot lower misaligned 1-D concatenates (`tpu.concatenate`
+            "input offsets outside of the first tile"), but partial-row
+            stores are fine. Sequential reuse of one scratch is safe: the
+            kernel body is a single in-order program."""
+            d = row.shape[0]
+            if d == spec.dmax:
+                return row
+            rowpad[0, :] = jnp.zeros((spec.dmax,), jnp.float32)
+            rowpad[0, :d] = row
+            return rowpad[0, :]
+
+        seed0 = seed_ref[0]
+        denom = jnp.sum(wrow_ref[:]) + 1e-9
+
+        # ---- stage the bf16 kernels into VMEM (resident for the step) ----
+        for i in range(m):
+            pltpu.make_async_copy(w16_in[i], w16[i], copy_sems.at[i]).start()
+        for i in range(m):
+            pltpu.make_async_copy(w16_in[i], w16[i], copy_sems.at[i]).wait()
+
+        # ---- forward ----
+        acts[0][:] = x_ref[:].astype(jnp.bfloat16)
+        logits = None
+        for i in range(m):
+            z = jax.lax.dot(acts[i][:], w16[i][:],
+                            preferred_element_type=jnp.float32)
+            z = z + sm_in["b"][i, : pd[i + 1]][None, :]
+            if i == m - 1:
+                cmask = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, pd[-1]), 1) >= c.n_classes
+                logits = jnp.where(cmask, -1e9, z)
+                break
+            a = jnp.maximum(z, 0.0)
+            if use_bn:
+                w_col = wrow_ref[:]
+                mu = jnp.sum(a * w_col, axis=0, keepdims=True) / denom
+                var = jnp.sum(((a - mu) ** 2) * w_col, axis=0,
+                              keepdims=True) / denom
+                sdinv = jax.lax.rsqrt(var + eps_bn)
+                muvec[i, : pd[i + 1]] = mu[0]
+                sdvec[i, : pd[i + 1]] = sdinv[0]
+                xh = (a - mu) * sdinv
+                xhats[i][:] = xh.astype(jnp.bfloat16)
+                out = (xh * sm_in["gamma"][i, : pd[i + 1]][None, :]
+                       + sm_in["beta"][i, : pd[i + 1]][None, :])
+                sm_out["rmean"][i, :] = (mom * sm_in["rmean"][i, :]
+                                         + (1 - mom) * padrow(mu[0]))
+                sm_out["rvar"][i, :] = (mom * sm_in["rvar"][i, :]
+                                        + (1 - mom) * padrow(var[0]))
+            else:
+                out = a
+                muvec[i, : pd[i + 1]] = jnp.zeros((pd[i + 1],), jnp.float32)
+                sdvec[i, : pd[i + 1]] = jnp.ones((pd[i + 1],), jnp.float32)
+                xhats[i][:] = a.astype(jnp.bfloat16)
+                sm_out["rmean"][i, :] = sm_in["rmean"][i, :]
+                sm_out["rvar"][i, :] = sm_in["rvar"][i, :]
+            if drops[i] > 0.0:
+                keep = 1.0 - drops[i]
+                pltpu.prng_seed(seed0 + i)
+                bits = pltpu.prng_random_bits((B, pd[i + 1]))
+                un = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+                out = jnp.where(un < keep, out / keep, 0.0)
+            acts[i + 1][:] = out.astype(jnp.bfloat16)
+
+        # ---- loss / accuracy / output-layer gradient ----
+        zmax = jnp.max(logits, axis=1, keepdims=True)
+        ez = jnp.exp(logits - zmax)
+        sez = jnp.sum(ez, axis=1, keepdims=True)
+        probs_buf[:] = ez / sez
+        cls = jax.lax.broadcasted_iota(jnp.int32, (B, pd[-1]), 1)
+        onehot = (cls == y_ref[:]).astype(jnp.float32)
+        logp = logits - zmax - jnp.log(sez)
+        nll = -jnp.sum(logp * onehot, axis=1, keepdims=True)
+        w_col = wrow_ref[:]
+        # (1, 1)-shaped stores: Mosaic rejects scalar stores to VMEM
+        loss_ref[:] = (jnp.sum(nll * w_col) / denom).reshape(1, 1)
+        pred = jnp.argmax(logits, axis=1).reshape(B, 1)
+        acc_ref[:] = (jnp.sum(
+            (pred == y_ref[:]).astype(jnp.float32) * w_col) / denom
+        ).reshape(1, 1)
+
+        # ---- Adam schedule scalars ----
+        t = (count_ref[0] + 1).astype(jnp.float32)
+        # b**t as exp(t*log(b)): Mosaic has no math.powf legalization
+        bc1 = 1.0 - jnp.exp(t * float(np.log(b1)))
+        bc2 = 1.0 - jnp.exp(t * float(np.log(b2)))
+        count_out[0] = count_ref[0] + 1
+
+        def adam_stream(i, dz):
+            """Tile loop: dW = acts[i]^T @ dz fused with the streamed Adam
+            update of layer i's f32 master + moments; the updated (clamped)
+            weights land in the VMEM-resident bf16 copy. The deferred
+            constraint factor from the PREVIOUS step is folded into the
+            master here (one multiply at load), so the rescale pass never
+            re-touches HBM."""
+            dout = pd[i + 1]
+            s_prev = scales_ref[0, i]
+            dzb = dz.astype(jnp.bfloat16)
+            for tt in range(spec.tiles(i)):
+                r0 = tt * T
+                rows = min(T, pd[i] - r0)
+                cp = [pltpu.make_async_copy(
+                    mast_in[i].at[pl.ds(r0, rows), :],
+                    mtile.at[pl.ds(0, rows), pl.ds(0, dout)],
+                    tile_sems.at[0]),
+                    pltpu.make_async_copy(
+                    mw_in[i].at[pl.ds(r0, rows), :],
+                    mwtile.at[pl.ds(0, rows), pl.ds(0, dout)],
+                    tile_sems.at[1]),
+                    pltpu.make_async_copy(
+                    vw_in[i].at[pl.ds(r0, rows), :],
+                    vwtile.at[pl.ds(0, rows), pl.ds(0, dout)],
+                    tile_sems.at[2])]
+                for cc in cp:
+                    cc.start()
+                xt = acts[i][:, pl.ds(r0, rows)]
+                g = jax.lax.dot_general(
+                    xt, dzb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (rows, dout)
+                for cc in cp:
+                    cc.wait()
+                mt = mtile[pl.ds(0, rows), pl.ds(0, dout)] * s_prev
+                m_ = b1 * mwtile[pl.ds(0, rows), pl.ds(0, dout)] + (
+                    1 - b1) * g
+                v_ = b2 * vwtile[pl.ds(0, rows), pl.ds(0, dout)] + (
+                    1 - b2) * g * g
+                upd = (m_ / bc1) / (jnp.sqrt(v_ / bc2) + eps_adam)
+                wn = mt - spec.lr * upd
+                if c.nonneg:
+                    wn = jnp.maximum(wn, 0.0)
+                mtile[pl.ds(0, rows), pl.ds(0, dout)] = wn
+                mwtile[pl.ds(0, rows), pl.ds(0, dout)] = m_
+                vwtile[pl.ds(0, rows), pl.ds(0, dout)] = v_
+                w16[i][pl.ds(r0, rows), :] = wn.astype(jnp.bfloat16)
+                wb = [pltpu.make_async_copy(
+                    mtile.at[pl.ds(0, rows), pl.ds(0, dout)],
+                    mast_out[i].at[pl.ds(r0, rows), :],
+                    tile_sems.at[0]),
+                    pltpu.make_async_copy(
+                    mwtile.at[pl.ds(0, rows), pl.ds(0, dout)],
+                    mw_out[i].at[pl.ds(r0, rows), :],
+                    tile_sems.at[1]),
+                    pltpu.make_async_copy(
+                    vwtile.at[pl.ds(0, rows), pl.ds(0, dout)],
+                    vw_out[i].at[pl.ds(r0, rows), :],
+                    tile_sems.at[2])]
+                for cc in wb:
+                    cc.start()
+                for cc in wb:
+                    cc.wait()
+
+        def small_adam(key, i, g_row, dout):
+            mk, vk = "m_" + key, "v_" + key
+            gpad = padrow(g_row)
+            m_ = b1 * sm_in[mk][i, :] + (1 - b1) * gpad
+            v_ = b2 * sm_in[vk][i, :] + (1 - b2) * gpad * gpad
+            upd = (m_ / bc1) / (jnp.sqrt(v_ / bc2) + eps_adam)
+            sm_out[key][i, :] = sm_in[key][i, :] - spec.lr * upd
+            sm_out[mk][i, :] = m_
+            sm_out[vk][i, :] = v_
+
+        # ---- backward (last -> first), Adam fused into each layer ----
+        dz_last = (probs_buf[:] - onehot) * w_col / denom  # (B, pd[-1])
+        for i in range(m - 1, -1, -1):
+            dout = pd[i + 1]
+            if i == m - 1:
+                dz = dz_last
+            else:
+                dD = da_buf[:, pl.ds(0, dout)]
+                if drops[i] > 0.0:
+                    keep = 1.0 - drops[i]
+                    pltpu.prng_seed(seed0 + i)  # same stream as forward
+                    bits = pltpu.prng_random_bits((B, dout))
+                    un = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+                    dD = jnp.where(un < keep, dD / keep, 0.0)
+                xh = xhats[i][:].astype(jnp.float32)
+                if use_bn:
+                    dgamma = jnp.sum(dD * xh, axis=0)
+                    dbeta = jnp.sum(dD, axis=0)
+                    # read gamma BEFORE its Adam write: the small arrays
+                    # are input/output-ALIASED, so sm_out writes land in
+                    # the same buffer sm_in reads from
+                    dxh = dD * sm_in["gamma"][i, : dout][None, :]
+                    small_adam("gamma", i, dgamma, dout)
+                    small_adam("beta", i, dbeta, dout)
+                    s1 = jnp.sum(dxh, axis=0, keepdims=True)
+                    s2 = jnp.sum(dxh * xh, axis=0, keepdims=True)
+                    sd = sdvec[i, : dout][None, :]
+                    da = sd * (dxh - (w_col / denom) * s1
+                               - (w_col / denom) * xh * s2)
+                else:
+                    sm_out["gamma"][i, :] = sm_in["gamma"][i, :]
+                    sm_out["beta"][i, :] = sm_in["beta"][i, :]
+                    sm_out["m_gamma"][i, :] = sm_in["m_gamma"][i, :]
+                    sm_out["v_gamma"][i, :] = sm_in["v_gamma"][i, :]
+                    sm_out["m_beta"][i, :] = sm_in["m_beta"][i, :]
+                    sm_out["v_beta"][i, :] = sm_in["v_beta"][i, :]
+                    da = dD
+                # relu mask: a > 0  <=>  xhat > -mu * sdinv (BN case) /
+                # xhats stores a itself when BN is off
+                if use_bn:
+                    thr = (-muvec[i, : dout] * sdvec[i, : dout])[None, :]
+                    relu_mask = xh > thr
+                else:
+                    relu_mask = xh > 0.0
+                dz = jnp.where(relu_mask, da, 0.0)
+            db = jnp.sum(dz, axis=0)
+            small_adam("b", i, db, dout)
+            if i > 0:
+                # dX BEFORE the in-place weight update of layer i
+                dx = jax.lax.dot_general(
+                    dz.astype(jnp.bfloat16), w16[i][:],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (B, pd[i])
+                adam_stream(i, dz)
+                da_buf[:, pl.ds(0, pd[i])] = dx
+            else:
+                adam_stream(i, dz)
+        # rows of gamma/beta for the output layer stay untouched
+        if use_bn:
+            i = m - 1
+            sm_out["gamma"][i, :] = sm_in["gamma"][i, :]
+            sm_out["beta"][i, :] = sm_in["beta"][i, :]
+            sm_out["m_gamma"][i, :] = sm_in["m_gamma"][i, :]
+            sm_out["v_gamma"][i, :] = sm_in["v_gamma"][i, :]
+            sm_out["m_beta"][i, :] = sm_in["m_beta"][i, :]
+            sm_out["v_beta"][i, :] = sm_in["v_beta"][i, :]
+            sm_out["rmean"][m - 1, :] = sm_in["rmean"][m - 1, :]
+            sm_out["rvar"][m - 1, :] = sm_in["rvar"][m - 1, :]
+
+        # ---- constraint: power iteration on the RESIDENT kernels ----
+        if spec.rho is not None:
+            u = u_ref[:]  # (1, pd[-1])
+            u = u / (jnp.sqrt(jnp.sum(u * u)) + eps_spacing)
+
+            def matvec_pt(vec):  # P^T u = W_1 ... W_m u  (vec: (1, pd[-1]))
+                x = vec
+                for j in range(m - 1, -1, -1):
+                    x = jax.lax.dot_general(
+                        x.astype(jnp.bfloat16), w16[j][:],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return x  # (1, pd[0])
+
+            def matvec_p(vec):   # P v = W_m^T ... W_1^T v (vec: (1, pd[0]))
+                x = vec
+                for j in range(m):
+                    x = jax.lax.dot(
+                        x.astype(jnp.bfloat16), w16[j][:],
+                        preferred_element_type=jnp.float32)
+                return x  # (1, pd[-1])
+
+            for _ in range(spec.pi_iters):
+                v = matvec_pt(u)
+                v = v / (jnp.sqrt(jnp.sum(v * v)) + eps_spacing)
+                u = matvec_p(v)
+                u = u / (jnp.sqrt(jnp.sum(u * u)) + eps_spacing)
+            v = matvec_pt(u)
+            v = v / (jnp.sqrt(jnp.sum(v * v)) + eps_spacing)
+            sigma = jnp.sum(u * matvec_p(v))
+            u_out[:] = u
+            # exact scalar recurrence (constraints/engine.py:133-166).
+            # Per-column select instead of .at[].set (Mosaic has no
+            # scatter lowering).
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+            sc = jnp.ones((1, _LANE), jnp.float32)
+            for i in range(m):
+                # x**(1/m) as exp(log(x)/m) (no powf in Mosaic); sigma > 0
+                f = jnp.exp(
+                    jnp.log(spec.rho / (sigma + eps_spacing)) * (1.0 / m))
+                w16[i][:] = (w16[i][:].astype(jnp.float32) * f).astype(
+                    jnp.bfloat16)
+                sc = jnp.where(col == i, f, sc)
+                sigma = sigma * f
+            scales_out[:] = sc
+        else:
+            u_out[:] = u_ref[:]
+            scales_out[:] = jnp.ones((1, _LANE), jnp.float32)
+
+        # ---- ship the updated resident kernels back to HBM ----
+        for i in range(m):
+            pltpu.make_async_copy(w16[i], w16_out[i], copy_sems.at[i]).start()
+        for i in range(m):
+            pltpu.make_async_copy(w16[i], w16_out[i], copy_sems.at[i]).wait()
+
+    return kernel
+
+
+_SMALL_KEYS = ("b", "m_b", "v_b", "gamma", "m_gamma", "v_gamma",
+               "beta", "m_beta", "v_beta", "rmean", "rvar")
+
+
+# --------------------------------------------------------------------------
+# the jit-facing step and epoch builders
+# --------------------------------------------------------------------------
+
+def build_fused_step(spec: FusedStepSpec):
+    """-> step(fstate, x_pad, y, wrow, seed) -> (fstate', loss, acc).
+
+    x_pad: (batch, pdims[0]) f32 (feature-padded); y: (batch,) int32;
+    wrow: (batch,) f32 row weights; seed: () int32 dropout seed.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = spec.n_layers
+    pd = spec.pdims
+    B = spec.batch
+    T = spec.adam_tile
+    kernel = _make_kernel(spec)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    in_specs = (
+        [smem, smem, vmem, vmem, vmem, vmem, vmem]
+        + [any_spec] * (4 * m)
+        + [vmem] * len(_SMALL_KEYS)
+    )
+    w_shapes = [jax.ShapeDtypeStruct((pd[i], pd[i + 1]), jnp.bfloat16)
+                for i in range(m)]
+    f_shapes = [jax.ShapeDtypeStruct((pd[i], pd[i + 1]), jnp.float32)
+                for i in range(m)]
+    sm_shape = jax.ShapeDtypeStruct((m, spec.dmax), jnp.float32)
+    out_shape = (
+        w_shapes + f_shapes + f_shapes + f_shapes
+        + [sm_shape] * len(_SMALL_KEYS)
+        + [jax.ShapeDtypeStruct((1, _LANE), jnp.float32),   # scales
+           jax.ShapeDtypeStruct((1, pd[-1]), jnp.float32),  # u
+           jax.ShapeDtypeStruct((1,), jnp.int32),           # count
+           jax.ShapeDtypeStruct((1, 1), jnp.float32),       # loss
+           jax.ShapeDtypeStruct((1, 1), jnp.float32)]       # acc
+    )
+    out_specs = (
+        [any_spec] * (4 * m)
+        + [vmem] * len(_SMALL_KEYS)
+        + [vmem, vmem, smem, vmem, vmem]
+    )
+    # alias the big in-place buffers: inputs 7..7+4m-1 are w16/mast/mw/vw,
+    # mapping onto outputs 0..4m-1 in the same order
+    aliases = {7 + k: k for k in range(4 * m)}
+    # small stacked arrays alias too (input 7+4m+j -> output 4m+j)
+    for j in range(len(_SMALL_KEYS)):
+        aliases[7 + 4 * m + j] = 4 * m + j
+
+    scratch = (
+        [pltpu.VMEM((pd[i], pd[i + 1]), jnp.bfloat16) for i in range(m)]
+        + [pltpu.VMEM((B, pd[i]), jnp.bfloat16) for i in range(m)]   # acts
+        + [pltpu.VMEM((B, pd[i + 1]), jnp.bfloat16)
+           for i in range(m - 1)]                                    # xhats
+        + [pltpu.VMEM((m, spec.dmax), jnp.float32),                  # muvec
+           pltpu.VMEM((m, spec.dmax), jnp.float32),                  # sdvec
+           pltpu.VMEM((B, spec.dmax), jnp.float32),                  # da
+           pltpu.VMEM((B, pd[-1]), jnp.float32),                     # probs
+           pltpu.VMEM((T, spec.dmax), jnp.float32),                  # mtile
+           pltpu.VMEM((T, spec.dmax), jnp.float32),                  # mwtile
+           pltpu.VMEM((T, spec.dmax), jnp.float32),                  # vwtile
+           pltpu.VMEM((1, spec.dmax), jnp.float32),                  # rowpad
+           pltpu.SemaphoreType.DMA((m,)),
+           pltpu.SemaphoreType.DMA((4,))]
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        interpret=spec.interpret,
+        compiler_params=None if spec.interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+    def step(fstate, x_pad, y, wrow, seed):
+        sm = fstate["small"]
+        outs = call(
+            jnp.asarray([seed], jnp.int32),
+            fstate["count"],
+            x_pad,
+            y.reshape(B, 1).astype(jnp.int32),
+            wrow.reshape(B, 1).astype(jnp.float32),
+            fstate["scales"],
+            fstate["u"],
+            *fstate["w16"], *fstate["masters"], *fstate["mw"],
+            *fstate["vw"],
+            *[sm[k] for k in _SMALL_KEYS],
+        )
+        w16 = tuple(outs[:m])
+        masters = tuple(outs[m:2 * m])
+        mw = tuple(outs[2 * m:3 * m])
+        vw = tuple(outs[3 * m:4 * m])
+        sm_new = {k: outs[4 * m + j] for j, k in enumerate(_SMALL_KEYS)}
+        scales, u, count, loss, acc = outs[4 * m + len(_SMALL_KEYS):]
+        fnew = {"masters": masters, "w16": w16, "mw": mw, "vw": vw,
+                "small": sm_new, "scales": scales, "u": u, "count": count}
+        return fnew, loss[0, 0], acc[0, 0]
+
+    return step
+
+
+def build_fused_epoch_fn(spec: FusedStepSpec, shuffle: bool = True,
+                         epochs_per_call: int = 1,
+                         reshuffle_inner: bool = False):
+    """-> jitted `epoch(fstate, data_pad, labels, perm_key, drop_key,
+    n_true)` -> (fstate', mean_loss, mean_acc) — the Pallas twin of
+    `train/epoch_scan.py::build_epoch_fn`, operating on the packed fused
+    state. `data_pad` is (N_pad, pdims[0]) f32, feature- AND row-padded
+    (multiple of spec.batch). The shuffle gather stays XLA (one pass over
+    the split); every train step is one fused kernel."""
+    B = spec.batch
+    step = build_fused_step(spec)
+
+    def one_epoch(fstate, data, labels, perm_key, drop_key, n_true):
+        n_pad = data.shape[0]
+        n_batches = n_pad // B
+        if shuffle:
+            perm = jax.random.permutation(perm_key, n_true)
+            perm = jnp.concatenate([perm, jnp.arange(n_true, n_pad)]) \
+                if n_pad > n_true else perm
+        else:
+            perm = jnp.arange(n_pad)
+        xs = data[perm].reshape(n_batches, B, -1)
+        ys = labels[perm].reshape(n_batches, B)
+        ws = (perm.reshape(n_batches, B) < n_true).astype(jnp.float32)
+        seeds = jax.vmap(
+            lambda i: jax.random.randint(
+                jax.random.fold_in(drop_key, i), (), 0, 2 ** 31 - 1)
+        )(jnp.arange(n_batches))
+
+        def body(fs, batch):
+            x, y, w, sd = batch
+            fs, loss, acc = step(fs, x, y, w, sd)
+            return fs, (loss, acc, jnp.sum(w))
+
+        fstate, (losses, accs, ns) = jax.lax.scan(
+            body, fstate, (xs, ys, ws, seeds))
+        total = jnp.sum(ns)
+        return (fstate, jnp.sum(losses * ns) / total,
+                jnp.sum(accs * ns) / total)
+
+    if epochs_per_call == 1:
+        epoch = one_epoch
+    else:
+        def epoch(fstate, data, labels, perm_key, drop_key, n_true):
+            if not reshuffle_inner:
+                # hoist the gather: ONE permutation per dispatch
+                def body(e, carry):
+                    fs, _, _ = carry
+                    dk = jax.random.fold_in(drop_key, e)
+                    return one_epoch(fs, data, labels, perm_key, dk, n_true)
+            else:
+                def body(e, carry):
+                    fs, _, _ = carry
+                    pk = jax.random.fold_in(perm_key, e)
+                    dk = jax.random.fold_in(drop_key, e)
+                    return one_epoch(fs, data, labels, pk, dk, n_true)
+            init = (fstate, jnp.float32(0), jnp.float32(0))
+            return jax.lax.fori_loop(0, epochs_per_call, body, init)
+
+    return jax.jit(epoch, static_argnames=("n_true",),
+                   donate_argnums=(0,))
+
+
+def pad_features(spec: FusedStepSpec, x):
+    """(N, in_dim) -> (N, pdims[0]) f32 zero-padded feature columns."""
+    x = jnp.asarray(x, jnp.float32)
+    pad = spec.pdims[0] - spec.dims[0]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad)))

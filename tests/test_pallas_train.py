@@ -1,0 +1,180 @@
+"""ops/pallas_train.py: the fused Pallas train-step kernel, in interpret
+mode on CPU (the real-TPU validation runs in the verify drive and bench).
+
+Oracle: the XLA Trainer.train_step with the identical recipe. The kernel's
+Dense matmuls run bf16-with-f32-accumulation and activations are stored
+bf16 for the backward pass, so value tolerances are at the bf16 class
+(~1e-2 relative on updates whose gradients are near zero); trajectory
+tests check convergence + constraint landing instead of bitwise equality.
+Dropout uses the TPU hardware PRNG and cannot run in interpret mode —
+dropout tests live in the TPU drive."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asr_using_robust_nn_tpu.constraints import make_simple_norm_constraint
+from asr_using_robust_nn_tpu.models.mlp import (
+    MLPConfig,
+    dense_kernels,
+    init_mlp,
+)
+from asr_using_robust_nn_tpu.ops.pallas_train import (
+    FusedStepSpec,
+    build_fused_epoch_fn,
+    build_fused_step,
+    pack_state,
+    pad_features,
+    unpack_params,
+)
+from asr_using_robust_nn_tpu.train import TrainConfig, Trainer
+
+from conftest import blobs_task, product_norm_oracle
+
+
+def small_spec(rho=0.5, **cfg_kw):
+    defaults = dict(in_dim=20, n_classes=4, hidden=(32, 16), nonneg=True,
+                    dropout=(0.0, 0.0))
+    defaults.update(cfg_kw)
+    cfg = MLPConfig(**defaults)
+    return FusedStepSpec(cfg=cfg, batch=64, rho=rho, pi_iters=8,
+                         interpret=True)
+
+
+def xla_trainer(spec):
+    con = (make_simple_norm_constraint(spec.rho, n_iter=spec.pi_iters)
+           if spec.rho is not None else None)
+    params, state = init_mlp(spec.cfg, jax.random.PRNGKey(0))
+    tr = Trainer(spec.cfg, TrainConfig(batch_size=spec.batch),
+                 constraint=con.apply if con else None,
+                 constraint_state=con.init(params) if con else None)
+    return tr, con, params, state
+
+
+class TestFusedStep:
+    def test_one_step_matches_xla(self, rng):
+        spec = small_spec()
+        tr, con, params, state = xla_trainer(spec)
+        fstate = pack_state(spec, params, state)
+        step = build_fused_step(spec)
+        x = rng.standard_normal((64, 20)).astype(np.float32)
+        y = jnp.asarray(rng.integers(0, 4, 64).astype(np.int32))
+        w = jnp.ones((64,), jnp.float32)
+        fs2, loss_p, acc_p = step(fstate, pad_features(spec, x), y, w,
+                                  jnp.int32(7))
+        o = tr.optimizer.init(params)
+        p2, s2, _, _, loss_x, acc_x = tr.train_step(
+            jax.tree.map(jnp.array, params), jax.tree.map(jnp.array, state),
+            o, con.init(params), jnp.asarray(x), y, jax.random.PRNGKey(1))
+        assert abs(float(loss_p) - float(loss_x)) < 5e-3
+        assert abs(float(acc_p) - float(acc_x)) < 1e-6
+        pp, ss = unpack_params(spec, fs2)
+        for a, b in zip(pp["layers"], p2["layers"]):
+            # one Adam step moves each weight by ~lr; bf16 grad noise can
+            # flip near-zero gradients -> tolerance of two step sizes
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]), atol=2.5e-3)
+        np.testing.assert_allclose(
+            np.asarray(ss["layers"][0]["mean"]),
+            np.asarray(s2["layers"][0]["mean"]), atol=1e-4)
+
+    def test_row_weights_mask_padded_rows(self, rng):
+        """A batch with 16 zero-weighted garbage rows must produce the
+        same loss/update as the 48-row batch alone (BN moments, CCE, and
+        gradients all row-masked — epoch_scan semantics)."""
+        spec = small_spec()
+        _, _, params, state = xla_trainer(spec)
+        step = build_fused_step(spec)
+        x = rng.standard_normal((64, 20)).astype(np.float32)
+        x[48:] = 1e3  # poison rows
+        y = rng.integers(0, 4, 64).astype(np.int32)
+        w = np.ones((64,), np.float32)
+        w[48:] = 0.0
+        fs = pack_state(spec, params, state)
+        fs2, loss, acc = step(fs, pad_features(spec, x), jnp.asarray(y),
+                              jnp.asarray(w), jnp.int32(3))
+        # same true rows, tiled to fill the batch, all weight 1/0 pattern
+        x2 = np.concatenate([x[:48], x[:16]], 0)
+        w2 = np.concatenate([np.ones(48), np.zeros(16)]).astype(np.float32)
+        y2 = np.concatenate([y[:48], y[:16]]).astype(np.int32)
+        fs = pack_state(spec, params, state)
+        fs3, loss3, acc3 = step(fs, pad_features(spec, x2),
+                                jnp.asarray(y2), jnp.asarray(w2),
+                                jnp.int32(3))
+        assert abs(float(loss) - float(loss3)) < 1e-5
+        pp2 = unpack_params(spec, fs2)[0]
+        pp3 = unpack_params(spec, fs3)[0]
+        for a, b in zip(pp2["layers"], pp3["layers"]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]), atol=1e-4)
+
+    def test_trajectory_and_constraint(self, rng):
+        """30 steps: loss falls, the product norm lands at rho in BOTH the
+        kernel and the XLA path, final weights stay within the bf16 drift
+        envelope of the oracle trajectory."""
+        x, y = blobs_task(rng, n=256, d=20, k=4)
+        spec = small_spec()
+        tr, con, params, state = xla_trainer(spec)
+        fstate = pack_state(spec, params, state)
+        step = build_fused_step(spec)
+        o = tr.optimizer.init(params)
+        p2 = jax.tree.map(jnp.array, params)
+        s2 = jax.tree.map(jnp.array, state)
+        c2 = con.init(params)
+        losses = []
+        for it in range(30):
+            i0 = (it * 64) % 192
+            xb, yb = x[i0:i0 + 64], jnp.asarray(y[i0:i0 + 64], jnp.int32)
+            w = jnp.ones((64,), jnp.float32)
+            fstate, lp, _ = step(fstate, pad_features(spec, xb), yb, w,
+                                 jnp.int32(it))
+            p2, s2, o, c2, lx, _ = tr.train_step(
+                p2, s2, o, c2, jnp.asarray(xb), yb, jax.random.PRNGKey(it))
+            losses.append((float(lp), float(lx)))
+        assert losses[-1][0] < losses[0][0] * 0.7
+        pp, _ = unpack_params(spec, fstate)
+        assert product_norm_oracle(dense_kernels(pp)) <= spec.rho * 1.06
+        assert product_norm_oracle(dense_kernels(p2)) <= spec.rho * 1.06
+        # trajectories stay close in loss (bf16 drift, not divergence)
+        assert abs(losses[-1][0] - losses[-1][1]) < 0.15
+
+    def test_unconstrained_no_bn(self, rng):
+        """speaker_unconstrained trunk shape: no BN, no constraint."""
+        spec = FusedStepSpec(
+            cfg=MLPConfig(in_dim=20, n_classes=4, hidden=(32, 16),
+                          batch_norm=False, dropout=(0.0, 0.0)),
+            batch=64, rho=None, interpret=True)
+        _, _, params, state = xla_trainer(spec)
+        step = build_fused_step(spec)
+        x, y = blobs_task(rng, n=64, d=20, k=4)
+        fs = pack_state(spec, params, state)
+        losses = []
+        for it in range(10):
+            fs, loss, _ = step(fs, pad_features(spec, x),
+                               jnp.asarray(y, jnp.int32),
+                               jnp.ones((64,), jnp.float32), jnp.int32(it))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        # scales stay 1 without a constraint
+        np.testing.assert_allclose(np.asarray(fs["scales"]), 1.0)
+
+    def test_fused_epoch_fn(self, rng):
+        """The epoch wrapper (XLA shuffle-gather + scan of fused steps)
+        trains the blobs task to high accuracy."""
+        x, y = blobs_task(rng, n=256, d=20, k=4)
+        spec = small_spec(rho=None)
+        spec = FusedStepSpec(cfg=spec.cfg, batch=64, rho=None,
+                             interpret=True)
+        _, _, params, state = xla_trainer(spec)
+        fs = pack_state(spec, params, state)
+        epoch = build_fused_epoch_fn(spec, epochs_per_call=2)
+        data = pad_features(spec, x)
+        lab = jnp.asarray(y, jnp.int32)
+        for e in range(12):
+            fs, loss, acc = epoch(fs, data, lab,
+                                  jax.random.PRNGKey(1),
+                                  jax.random.fold_in(jax.random.PRNGKey(2),
+                                                     e), n_true=256)
+        assert float(acc) > 0.9
