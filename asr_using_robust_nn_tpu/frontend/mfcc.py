@@ -128,9 +128,20 @@ class Frontend:
         return self._backend
 
     def __call__(self, waves, lengths=None):
-        waves = np.ascontiguousarray(waves, dtype=np.float32) if isinstance(
-            waves, np.ndarray
-        ) else waves
+        if isinstance(waves, np.ndarray):
+            if waves.dtype == np.int16:
+                # int16-PCM ingress: ship half the host->device bytes and
+                # dequantize ON DEVICE — x/32768 is exact for PCM-origin
+                # audio (ops/mfcc_int8.py:30-36), so results are
+                # bit-identical to f32 ingress of waves/32768 (VERDICT r3
+                # item 4). Note this only applies to UNresampled audio:
+                # host resampling (utils/audio_io.py) already produces f32.
+                import jax.numpy as jnp
+
+                w16 = jnp.asarray(np.ascontiguousarray(waves))
+                waves = w16.astype(jnp.float32) * jnp.float32(1 / 32768)
+            else:
+                waves = np.ascontiguousarray(waves, dtype=np.float32)
         return self._BACKENDS[self.backend](waves, self.cfg, lengths=lengths)
 
     def flat(self, waves, lengths=None):

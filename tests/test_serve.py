@@ -57,6 +57,46 @@ class TestEngineEquivalence:
         np.testing.assert_allclose(out["probs"], ref, atol=1e-5)
         assert (out["labels"] == ref.argmax(1)).all()
 
+    def test_int16_ingress_bit_equal(self):
+        """int16-PCM ingress (VERDICT r3 item 4): probs must be BIT-equal
+        to f32 ingress of w/32768 — on-device dequantization by a
+        power-of-two is exact for int16-origin samples."""
+        eng, parts = _digit_engine()
+        rng = np.random.default_rng(7)
+        pcm = rng.integers(-32768, 32768, (5, 22050)).astype(np.int16)
+        out16 = eng.classify(pcm)
+        outf = eng.classify(pcm.astype(np.float32) / 32768.0)
+        np.testing.assert_array_equal(out16["probs"], outf["probs"])
+        assert (out16["labels"] == outf["labels"]).all()
+        # list-of-rows int16 input stays int16 too
+        out_list = eng.classify([pcm[i] for i in range(5)])
+        np.testing.assert_array_equal(out_list["probs"], outf["probs"])
+        # mixed dtypes fall back to f32 (no crash, same result)
+        mixed = eng.classify([pcm[0], pcm[1].astype(np.float32) / 32768.0])
+        np.testing.assert_allclose(mixed["probs"], outf["probs"][:2],
+                                   atol=1e-6)
+
+    def test_int16_frontend_bit_equal(self):
+        """Frontend-level int16 ingress (the featurizer's host->device hop)
+        is bit-identical to f32 ingress of w/32768."""
+        from asr_using_robust_nn_tpu.frontend.mfcc import Frontend
+        fe = Frontend(FrontendConfig.digit(), backend="xla")
+        rng = np.random.default_rng(11)
+        pcm = rng.integers(-32768, 32768, (3, 22050)).astype(np.int16)
+        f16 = np.asarray(fe(pcm))
+        f32 = np.asarray(fe(pcm.astype(np.float32) / 32768.0))
+        np.testing.assert_array_equal(f16, f32)
+
+    def test_int16_warmup_and_warm_latency_tracking(self):
+        """warmup() compiles BOTH ingress dtypes; a first int16 call after
+        warmup counts as warm (per-(bucket, dtype) tracking)."""
+        eng, _ = _digit_engine(buckets=(4,))
+        eng.warmup()
+        pcm = np.zeros((3, 22050), np.int16)
+        eng.classify(pcm)
+        eng.classify(_waves(3))
+        assert len(eng.latencies_s) == 2
+
     def test_no_scaler(self):
         eng, parts = _digit_engine(scaler=False)
         w = _waves(3)
@@ -91,7 +131,7 @@ class TestBuckets:
         for n in (1, 3, 4, 9):
             out = eng.classify(w[:n])
             np.testing.assert_allclose(out["probs"], ref[:n], atol=1e-5)
-        assert set(eng._programs) <= {4, 16}
+        assert {b for b, _ in eng._programs} <= {4, 16}
 
     def test_oversized_request_chunks(self):
         eng, parts = _digit_engine(buckets=(4,))
@@ -99,7 +139,7 @@ class TestBuckets:
         out = eng.classify(w)
         np.testing.assert_allclose(out["probs"], _oracle_probs(parts, w),
                                    atol=1e-5)
-        assert set(eng._programs) == {4}
+        assert set(eng._programs) == {(4, 'float32')}
 
     def test_bad_buckets_rejected(self):
         m_cfg = MLPConfig.digit_unconstrained()
