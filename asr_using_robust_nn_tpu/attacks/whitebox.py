@@ -116,6 +116,54 @@ def _jsma_select_pair(alpha, beta, search, k_cand):
     return cand[flat // m], cand[flat % m], any_valid
 
 
+def _jsma_select_pair_tiled(alpha, beta, search, tile: int = 128):
+    """EXACT pair argmax at any dim without the (n, n) matrix: a lax.scan
+    over row tiles scores (tile x n) blocks and carries the running best —
+    the full 2020-dim speaker saliency map streams through
+    ceil(n/tile) blocks of tile*n entries instead of materializing 4.1M
+    (VERDICT r3 item 6). Tie-breaking matches the dense search exactly
+    (first maximum in row-major order: strict `>` across tiles keeps the
+    earliest tile's max; argmax within a tile picks the earliest entry).
+    Returns (p, q, any_valid) identical to `_jsma_select_pair(..., None)`.
+    """
+    n = alpha.shape[0]
+    n_pad = -(-n // tile) * tile
+    a = jnp.pad(alpha, (0, n_pad - n))
+    b = jnp.pad(beta, (0, n_pad - n))
+    s = jnp.pad(search, (0, n_pad - n))  # False-padded: never valid
+    idx = jnp.arange(n_pad)
+
+    def body(carry, start):
+        best_score, best_p, best_q = carry
+        ap = jax.lax.dynamic_slice(a, (start,), (tile,))
+        bp = jax.lax.dynamic_slice(b, (start,), (tile,))
+        sp = jax.lax.dynamic_slice(s, (start,), (tile,))
+        pi = start + jnp.arange(tile)
+        a_pair = ap[:, None] + a[None, :]
+        b_pair = bp[:, None] + b[None, :]
+        valid = (
+            (a_pair > 0)
+            & (b_pair < 0)
+            & sp[:, None]
+            & s[None, :]
+            & (pi[:, None] != idx[None, :])
+        )
+        score = jnp.where(valid, -a_pair * b_pair, -jnp.inf)
+        flat = jnp.argmax(score)
+        sc = score.reshape(-1)[flat]
+        p, q = pi[flat // n_pad], idx[flat % n_pad]
+        better = sc > best_score
+        return (jnp.where(better, sc, best_score),
+                jnp.where(better, p, best_p),
+                jnp.where(better, q, best_q)), None
+
+    init = (jnp.float32(-jnp.inf), jnp.int32(0), jnp.int32(0))
+    (best_score, best_p, best_q), _ = jax.lax.scan(
+        body, init, jnp.arange(0, n_pad, tile)
+    )
+    return best_p, best_q, jnp.isfinite(best_score)
+
+
 def jsma(
     logits_fn,
     x,
@@ -142,20 +190,17 @@ def jsma(
     cycling pair can't spin forever; ART has no such cap but terminates in
     practice for the same reason this cap is rarely hit.
 
-    Pair selection: `k_candidates=None` (default) keeps the EXACT dense
-    argmax over all feature pairs whenever n_feat <= 1024 — the digit task
-    (880 dims) retains the pre-round-3 exact ART-parity semantics — and
-    switches to a top-k candidate search for larger n (VERDICT r2 item 6:
-    the 2020-dim speaker task would need a 4.1M-entry matrix per
-    sample-iteration; top-k searches a 256x256 product instead). The
-    heuristic rests on the pair objective (a_p+a_q)*(-(b_p+b_q)) being
-    monotone in each endpoint's (alpha, -beta): any optimal pair can be
-    chosen with both endpoints Pareto-optimal in that plane, and the union
-    of top-k by alpha and top-k by -beta covers both ENDS of that front. It
-    is a heuristic, not exact: an optimal (or sole valid) pair whose
-    endpoints sit strictly in the front's interior, beyond both top-k sets,
-    is missed — the attack may then pick a weaker pair or stop early. Pass
-    an explicit k_candidates >= n_feat to force exactness at any dim.
+    Pair selection: `k_candidates=None` (default) is EXACT at EVERY dim
+    (VERDICT r3 item 6) — a dense (n, n) argmax for n_feat <= 1024 (the
+    880-dim digit task), and the blockwise streamed argmax
+    `_jsma_select_pair_tiled` above that (the 2020-dim speaker task scores
+    tile x n blocks under a lax.scan instead of materializing the 4.1M-entry
+    matrix; identical result including row-major tie-breaking). Passing an
+    explicit k_candidates < n_feat opts IN to the round-3 top-k heuristic
+    (union of top-k by alpha and top-k by -beta — covers the ENDS of the
+    (alpha, -beta) Pareto front but provably misses pairs strictly in its
+    interior, see tests/test_attacks.py::TestJSMATopK); k_candidates >=
+    n_feat routes back to the exact dense search.
     """
     n_feat = x.shape[-1]
     logits0 = logits_fn(x)
@@ -170,11 +215,13 @@ def jsma(
     if max_iter is None:
         max_iter = max(2 * budget, 8)
     if k_candidates is None:
-        k_cand = None if n_feat <= 1024 else 128  # None -> exact dense
+        k_cand = None  # exact at every dim: dense <=1024, tiled above
     else:
         k_cand = None if k_candidates >= n_feat else k_candidates
 
     def select_pair(alpha, beta, search):
+        if k_cand is None and n_feat > 1024:
+            return _jsma_select_pair_tiled(alpha, beta, search)
         return _jsma_select_pair(alpha, beta, search, k_cand)
 
     def single(x0, t):
