@@ -195,9 +195,13 @@ def keras_simple_norm_constraint(rho):
     return _C()
 
 
-def run_reference_pipeline(task, feats, epochs, patience, rho, seed,
+def run_reference_pipeline(task, feats, epochs, patience, rho, tseeds,
                            ckpt_root):
-    """Train both variants with the reference recipe; return eval closures.
+    """Train both variants with the reference recipe, ONCE PER TRAINING
+    SEED in `tseeds` (the reference's own protocol is re-running the
+    script, `VD/train_constraints.py:100-102`); returns per-variant LISTS
+    of (predict, fgsm, val_loss) plus the weight path of each variant's
+    best-of-k run (by val_loss — used for the same-weights cross-probe).
     Checkpoints land under ckpt_root (the study workdir) so repeated runs
     don't strew orphaned weight files across /tmp."""
     os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
@@ -212,71 +216,97 @@ def run_reference_pipeline(task, feats, epochs, patience, rho, seed,
              "speaker": {"unconstrained": 64, "constrained": 64}}[task]
     ytr = np.eye(n_classes, dtype=np.float32)[ltr]
     ydv = np.eye(n_classes, dtype=np.float32)[ldv]
-    out = {}
+    out = {v: [] for v in ("unconstrained", "constrained")}
     weight_paths = {}
     for variant in ("unconstrained", "constrained"):
-        model = build_keras_model(task, variant, seed)
-        # the reference's exact protocol: ModelCheckpoint(save_best_only)
-        # on val_loss + reload of the best checkpoint after fit
-        # (`VD/train_google_dataset.py:85,87`). EarlyStopping's
-        # restore_best_weights is NOT equivalent — it restores only when
-        # the patience actually fires, so a run that hits the epoch cap
-        # evaluates FINAL weights (while the framework, like the
-        # reference, always evaluates the best-val weights).
-        best_path = os.path.join(
-            tempfile.mkdtemp(prefix="ks_best_", dir=ckpt_root),
-            "best.weights.h5")
-        callbacks = [
-            EarlyStopping(monitor="val_loss", patience=patience),
-            ModelCheckpoint(best_path, monitor="val_loss",
-                            save_best_only=True, save_weights_only=True),
-        ]
-        if variant == "constrained":
-            callbacks.append(keras_simple_norm_constraint(rho))
-        # reference-exact input pipeline: tf.data shuffle with
-        # reshuffle_each_iteration=False — the SAME batch order every epoch
-        # (`VD/train_google_dataset.py:35-40`); plain fit(shuffle=True)
-        # would reshuffle per epoch, a different training process than the
-        # reference's (and than the framework's default)
-        ds = tf.data.Dataset.from_tensor_slices(
-            (tr.astype(np.float32), ytr)
-        ).shuffle(len(tr), seed=seed, reshuffle_each_iteration=False).batch(
-            batch[variant]
-        )
-        vds = tf.data.Dataset.from_tensor_slices(
-            (dv.astype(np.float32), ydv)
-        ).batch(batch[variant])
-        model.fit(ds, validation_data=vds, epochs=epochs, verbose=0,
-                  callbacks=callbacks)
-        if os.path.exists(best_path):
-            model.load_weights(best_path)
-        # persist the evaluated (best-val) weights for the same-weights
-        # cross-probe: the framework imports this exact checkpoint and
-        # must reproduce these accuracies with its own forward/attack stack
-        final_path = os.path.join(os.path.dirname(best_path),
-                                  f"{variant}.final.weights.h5")
-        model.save_weights(final_path)
-        weight_paths[variant] = final_path
-
-        def make_eval(model):
-            def predict(x):
-                return model.predict(x.astype(np.float32), verbose=0,
-                                     batch_size=1024)
-
-            def fgsm(x, y, eps):
-                loss_obj = tf.keras.losses.CategoricalCrossentropy()
-                xt = tf.constant(x.astype(np.float32))
-                yt = tf.constant(np.eye(n_classes, dtype=np.float32)[y])
-                with tf.GradientTape() as tape:
-                    tape.watch(xt)
-                    loss = loss_obj(yt, model(xt))
-                g = tape.gradient(loss, xt)
-                return (xt + eps * tf.sign(g)).numpy()
-
-            return predict, fgsm
-
-        out[variant] = make_eval(model)
+        runs = []
+        for seed in tseeds:
+            runs.append(_one_keras_run(
+                task, variant, seed, tr, ytr, dv, ydv, epochs, patience,
+                rho, batch, ckpt_root))
+        out[variant] = [(p, f, vl) for (p, f, vl, _) in runs]
+        # best-of-k by val_loss feeds the cross-probe
+        weight_paths[variant] = runs[
+            int(np.argmin([r[2] for r in runs]))][3]
     return out, weight_paths
+
+
+def _one_keras_run(task, variant, seed, tr, ytr, dv, ydv, epochs, patience,
+                   rho, batch, ckpt_root):
+    """One reference-recipe fit -> (predict, fgsm, best_val_loss,
+    final_weight_path)."""
+    import tempfile
+
+    import tensorflow as tf
+    from tensorflow.keras.callbacks import EarlyStopping, ModelCheckpoint
+
+    n_classes = ytr.shape[1]
+    model = build_keras_model(task, variant, seed)
+    # the reference's exact protocol: ModelCheckpoint(save_best_only)
+    # on val_loss + reload of the best checkpoint after fit
+    # (`VD/train_google_dataset.py:85,87`). EarlyStopping's
+    # restore_best_weights is NOT equivalent — it restores only when
+    # the patience actually fires, so a run that hits the epoch cap
+    # evaluates FINAL weights (while the framework, like the
+    # reference, always evaluates the best-val weights).
+    best_path = os.path.join(
+        tempfile.mkdtemp(prefix="ks_best_", dir=ckpt_root),
+        "best.weights.h5")
+    callbacks = [
+        EarlyStopping(monitor="val_loss", patience=patience),
+        ModelCheckpoint(best_path, monitor="val_loss",
+                        save_best_only=True, save_weights_only=True),
+    ]
+    if variant == "constrained":
+        callbacks.append(keras_simple_norm_constraint(rho))
+    # reference-exact input pipeline: tf.data shuffle with
+    # reshuffle_each_iteration=False — the SAME batch order every epoch
+    # (`VD/train_google_dataset.py:35-40`); plain fit(shuffle=True)
+    # would reshuffle per epoch, a different training process than the
+    # reference's (and than the framework's default)
+    ds = tf.data.Dataset.from_tensor_slices(
+        (tr.astype(np.float32), ytr)
+    ).shuffle(len(tr), seed=seed, reshuffle_each_iteration=False).batch(
+        batch[variant]
+    )
+    vds = tf.data.Dataset.from_tensor_slices(
+        (dv.astype(np.float32), ydv)
+    ).batch(batch[variant])
+    model.fit(ds, validation_data=vds, epochs=epochs, verbose=0,
+              callbacks=callbacks)
+    if os.path.exists(best_path):
+        model.load_weights(best_path)
+    # the evaluated (best-val) weights' own val_loss: the best-of-k
+    # selection key, identical in meaning to fit_multi_run's
+    # best_val_loss on the framework side
+    val_loss = float(model.evaluate(dv.astype(np.float32), ydv,
+                                    verbose=0, batch_size=1024)[0])
+    # persist the evaluated (best-val) weights for the same-weights
+    # cross-probe: the framework imports this exact checkpoint and
+    # must reproduce these accuracies with its own forward/attack stack
+    final_path = os.path.join(os.path.dirname(best_path),
+                              f"{variant}.s{seed}.final.weights.h5")
+    model.save_weights(final_path)
+
+    def make_eval(model):
+        def predict(x):
+            return model.predict(x.astype(np.float32), verbose=0,
+                                 batch_size=1024)
+
+        def fgsm(x, y, eps):
+            loss_obj = tf.keras.losses.CategoricalCrossentropy()
+            xt = tf.constant(x.astype(np.float32))
+            yt = tf.constant(np.eye(n_classes, dtype=np.float32)[y])
+            with tf.GradientTape() as tape:
+                tape.watch(xt)
+                loss = loss_obj(yt, model(xt))
+            g = tape.gradient(loss, xt)
+            return (xt + eps * tf.sign(g)).numpy()
+
+        return predict, fgsm
+
+    predict, fgsm = make_eval(model)
+    return predict, fgsm, val_loss, final_path
 
 
 def make_framework_eval(cfg, params, state):
@@ -331,7 +361,8 @@ def run_cross_probe(task, weight_paths):
     out = {}
     for variant, cfg in cfgs.items():
         params, state = import_keras_h5(weight_paths[variant], cfg)
-        out[variant] = make_framework_eval(cfg, params, state)
+        predict, fgsm = make_framework_eval(cfg, params, state)
+        out[variant] = [(predict, fgsm, float("nan"))]
     return out
 
 
@@ -339,17 +370,23 @@ def run_cross_probe(task, weight_paths):
 # framework recipe
 # --------------------------------------------------------------------------
 
-def run_framework_pipeline(task, feats, epochs, patience, rho, seed,
+def run_framework_pipeline(task, feats, epochs, patience, rho, tseeds,
                            bf16=False):
+    """Train the framework arm on the MULTI-RUN ENGINE (VERDICT r3 item 3):
+    all len(tseeds) training seeds of a variant fuse into ONE XLA program
+    via `fit_multi_run` (one compile, one dispatch chain, the runs axis
+    vmapped) — the exact consumer `train/multi_run.py` was built for. Each
+    run reproduces `Trainer.fit(seed=s)`'s key derivation, so K=1 matches
+    the round-3 solo arm. Returns per-variant LISTS of
+    (predict, fgsm, val_loss)."""
     import jax
 
     from asr_using_robust_nn_tpu.constraints import (
         make_simple_norm_constraint,
     )
-    from asr_using_robust_nn_tpu.models.mlp import (
-        MLPConfig, init_mlp,
-    )
-    from asr_using_robust_nn_tpu.train import TrainConfig, Trainer
+    from asr_using_robust_nn_tpu.models.mlp import MLPConfig
+    from asr_using_robust_nn_tpu.train import TrainConfig
+    from asr_using_robust_nn_tpu.train.multi_run import fit_multi_run
 
     tr, ltr, dv, ldv, te, lte = feats
     cfgs = {
@@ -364,23 +401,30 @@ def run_framework_pipeline(task, feats, epochs, patience, rho, seed,
     for variant, cfg in cfgs.items():
         if bf16:
             cfg = cfg.with_bf16()
-        constraint = cstate = None
+        constraint = constraint_init = None
         if variant == "constrained":
             con = make_simple_norm_constraint(rho)
-            p0, _ = init_mlp(cfg, jax.random.PRNGKey(seed))
-            constraint, cstate = con.apply, con.init(p0)
+            constraint, constraint_init = con.apply, con.init
         # epochs_per_dispatch=1: early stopping / best-val tracking at the
         # SAME per-epoch granularity as the Keras side (8-epoch fusing
         # coarsens the protocol and is a perf knob, not a parity one)
         tcfg = TrainConfig(batch_size=batch[variant], epochs=epochs,
-                           patience=patience, seed=seed,
+                           patience=patience,
                            device_resident=True, epochs_per_dispatch=1)
-        trainer = Trainer(cfg, tcfg, constraint=constraint,
-                          constraint_state=cstate)
-        res = trainer.fit(tr.astype(np.float32), ltr,
-                          dv.astype(np.float32), ldv)
-        params, state = res["best_params"], res["best_state"]
-        out[variant] = make_framework_eval(cfg, params, state)
+        res = fit_multi_run(
+            cfg, tcfg, tr.astype(np.float32), ltr,
+            dv.astype(np.float32), ldv, list(tseeds),
+            constraint=constraint, constraint_init=constraint_init,
+        )
+        runs = []
+        for r in range(len(tseeds)):
+            params = jax.tree.map(lambda a: np.asarray(a[r]),
+                                  res["best_params"])
+            state = jax.tree.map(lambda a: np.asarray(a[r]),
+                                 res["best_state"])
+            predict, fgsm = make_framework_eval(cfg, params, state)
+            runs.append((predict, fgsm, float(res["best_val_loss"][r])))
+        out[variant] = runs
     return out
 
 
@@ -389,19 +433,27 @@ def run_framework_pipeline(task, feats, epochs, patience, rho, seed,
 # --------------------------------------------------------------------------
 
 def evaluate_models(models, te, lte, noise_draws):
-    """-> {variant: {probe: accuracy}} with SHARED noise draws."""
+    """-> {variant: [per-run {probe: accuracy, val_loss}]} with SHARED
+    noise draws. `models` maps variant -> list of (predict, fgsm,
+    val_loss) — one entry per training seed."""
     rows = {}
-    for variant, (predict, fgsm) in models.items():
-        r = {"clean": float(np.mean(
-            np.argmax(predict(te), -1) == lte))}
-        for s, eps_noise in noise_draws.items():
-            r[f"noise@{s}"] = float(np.mean(
-                np.argmax(predict(te + s * eps_noise), -1) == lte))
-        for eps in FGSM_EPS:
-            adv = fgsm(te, lte, eps)
-            r[f"fgsm@{eps}"] = float(np.mean(
-                np.argmax(predict(adv), -1) == lte))
-        rows[variant] = r
+    for variant, runs in models.items():
+        if not isinstance(runs, list):
+            runs = [runs]
+        vrows = []
+        for (predict, fgsm, val_loss) in runs:
+            r = {"clean": float(np.mean(
+                np.argmax(predict(te), -1) == lte))}
+            for s, eps_noise in noise_draws.items():
+                r[f"noise@{s}"] = float(np.mean(
+                    np.argmax(predict(te + s * eps_noise), -1) == lte))
+            for eps in FGSM_EPS:
+                adv = fgsm(te, lte, eps)
+                r[f"fgsm@{eps}"] = float(np.mean(
+                    np.argmax(predict(adv), -1) == lte))
+            r["val_loss"] = float(val_loss)
+            vrows.append(r)
+        rows[variant] = vrows
     return rows
 
 
@@ -515,47 +567,94 @@ def run_task(task, args, seed):
     noise_draws = {s: nrng.standard_normal(ref_feats[4].shape)
                    for s in NOISE_SIGMAS}
 
+    # training-seed axis (VERDICT r3 item 3): K runs per corpus seed per
+    # pipeline. K=1 keeps the round-3 protocol (training seed == corpus
+    # seed); K>1 derives distinct per-run seeds so corpora and trainings
+    # are independently seeded.
+    K = args.train_seeds
+    tseeds = [seed] if K == 1 else [1000 * (seed + 1) + j for j in range(K)]
+
     t_ref0 = time.time()
     ref_models, ref_wpaths = run_reference_pipeline(
-        task, ref_feats, epochs, patience, rho, seed,
+        task, ref_feats, epochs, patience, rho, tseeds,
         ckpt_root=args.workdir)
     ref_rows = evaluate_models(ref_models, ref_feats[4], ref_feats[5],
                                noise_draws)
     t_ref = time.time() - t_ref0
     t_fw0 = time.time()
     fw_models = run_framework_pipeline(task, fw_feats, epochs, patience,
-                                       rho, seed, bf16=args.bf16)
+                                       rho, tseeds, bf16=args.bf16)
     fw_rows = evaluate_models(fw_models, fw_feats[4], fw_feats[5],
                               noise_draws)
     t_fw = time.time() - t_fw0
     # same-weights cross-probe: framework stack over the reference's own
-    # trained weights and features — isolates eval/attack-stack parity
+    # best-of-k trained weights and features — isolates eval/attack-stack
+    # parity at identical weights
     cross_models = run_cross_probe(task, ref_wpaths)
     cross_rows = evaluate_models(cross_models, ref_feats[4], ref_feats[5],
                                  noise_draws)
     return {
         "seed": seed,
+        "train_seeds": tseeds,
         "n_train": int(len(ref_feats[0])),
         "n_test": int(len(ref_feats[4])),
         "feature_max_abs_gap": feat_gap,
         "reference": ref_rows,
         "framework": fw_rows,
         "cross": cross_rows,
-        "reference_train_s": round(t_ref, 1),
-        "framework_train_s": round(t_fw, 1),
+        "reference_train_s": round(t_ref, 1),  # K sequential Keras fits
+        "framework_train_s": round(t_fw, 1),   # K runs FUSED per variant
         "total_s": round(time.time() - t0, 1),
     }
 
 
+def _basin_threshold(pooled, min_gap=0.10):
+    """Split point of a bimodal sample: the midpoint of the largest
+    internal gap, or None when the largest gap is < min_gap (unimodal at
+    the resolution that matters for accuracy parity). The digit-constrained
+    cell is bistable in BOTH pipelines (round-3 finding) — two basins
+    ~10+ points apart — so a fixed-gap criterion is enough; no clustering
+    machinery needed."""
+    v = np.sort(np.asarray(pooled, np.float64))
+    if v.size < 4:
+        return None
+    gaps = np.diff(v)
+    i = int(np.argmax(gaps))
+    if gaps[i] < min_gap:
+        return None
+    return float((v[i] + v[i + 1]) / 2)
+
+
 def summarize(task_runs):
-    """Seed-average both pipelines and compute deltas per probe."""
-    probes = list(task_runs[0]["reference"]["unconstrained"].keys())
+    """Per (variant, probe): seed-averaged mean-of-K deltas, BEST-OF-K
+    deltas (each pipeline's val-loss-selected run per corpus seed — the
+    restart protocol VERDICT r3 item 3 asks for, applied identically to
+    both pipelines), the cross-probe, and — where the pooled clean
+    accuracies are bimodal — a per-basin breakdown with matched basin
+    frequencies."""
+    first = task_runs[0]["reference"]["unconstrained"][0]
+    probes = [p for p in first.keys() if p != "val_loss"]
     summary = {}
     for variant in ("unconstrained", "constrained"):
         v = {}
+        # per-seed per-run matrices [n_seeds][K]
+        ref_runs = [r["reference"][variant] for r in task_runs]
+        fw_runs = [r["framework"][variant] for r in task_runs]
+        ref_bok = [int(np.argmin([run["val_loss"] for run in rr]))
+                   for rr in ref_runs]
+        fw_bok = [int(np.argmin([run["val_loss"] for run in rr]))
+                  for rr in fw_runs]
+        # basin membership is defined ONCE, on clean accuracy pooled over
+        # both pipelines' runs, then applied to every probe
+        pooled_clean = np.array(
+            [run["clean"] for rr in ref_runs for run in rr]
+            + [run["clean"] for rr in fw_runs for run in rr])
+        thr = _basin_threshold(pooled_clean)
         for p in probes:
-            refs = np.array([r["reference"][variant][p] for r in task_runs])
-            fws = np.array([r["framework"][variant][p] for r in task_runs])
+            refs = np.array([np.mean([run[p] for run in rr])
+                             for rr in ref_runs])
+            fws = np.array([np.mean([run[p] for run in rr])
+                            for rr in fw_runs])
             deltas = (fws - refs) * 100  # paired per-seed deltas, pts
             n = len(deltas)
             stderr = float(np.std(deltas, ddof=1) / np.sqrt(n)) if n > 1 else 0.0
@@ -563,15 +662,55 @@ def summarize(task_runs):
                     "framework": round(float(fws.mean()), 4),
                     "delta_pts": round(float(deltas.mean()), 2),
                     "delta_stderr_pts": round(stderr, 2)}
+            # best-of-k restarts, both pipelines, val-loss-selected
+            refs_b = np.array([rr[i][p] for rr, i in zip(ref_runs, ref_bok)])
+            fws_b = np.array([rr[i][p] for rr, i in zip(fw_runs, fw_bok)])
+            bd = (fws_b - refs_b) * 100
+            bse = float(np.std(bd, ddof=1) / np.sqrt(n)) if n > 1 else 0.0
+            v[p]["reference_bok"] = round(float(refs_b.mean()), 4)
+            v[p]["framework_bok"] = round(float(fws_b.mean()), 4)
+            v[p]["bok_delta_pts"] = round(float(bd.mean()), 2)
+            v[p]["bok_delta_stderr_pts"] = round(bse, 2)
             if "cross" in task_runs[0]:
-                crosses = np.array([r["cross"][variant][p]
+                crosses = np.array([r["cross"][variant][0][p]
                                     for r in task_runs])
-                cdeltas = (crosses - refs) * 100
+                cdeltas = (crosses - refs_b) * 100  # cross uses bok weights
                 cse = (float(np.std(cdeltas, ddof=1) / np.sqrt(n))
                        if n > 1 else 0.0)
                 v[p]["cross"] = round(float(crosses.mean()), 4)
                 v[p]["cross_delta_pts"] = round(float(cdeltas.mean()), 2)
                 v[p]["cross_delta_stderr_pts"] = round(cse, 2)
+        if thr is not None:
+            ref_clean = np.array([run["clean"] for rr in ref_runs
+                                  for run in rr])
+            fw_clean = np.array([run["clean"] for rr in fw_runs
+                                 for run in rr])
+            basin = {"clean_threshold": round(thr, 4),
+                     "reference_upper_frac": round(
+                         float((ref_clean > thr).mean()), 3),
+                     "framework_upper_frac": round(
+                         float((fw_clean > thr).mean()), 3),
+                     "n_runs_per_pipeline": int(ref_clean.size),
+                     "per_probe": {}}
+            for p in probes:
+                ref_all = np.array([run[p] for rr in ref_runs for run in rr])
+                fw_all = np.array([run[p] for rr in fw_runs for run in rr])
+                row = {}
+                for name, mask_r, mask_f in (
+                        ("upper", ref_clean > thr, fw_clean > thr),
+                        ("lower", ref_clean <= thr, fw_clean <= thr)):
+                    if mask_r.any() and mask_f.any():
+                        rm = float(ref_all[mask_r].mean())
+                        fm = float(fw_all[mask_f].mean())
+                        row[name] = {
+                            "reference": round(rm, 4),
+                            "framework": round(fm, 4),
+                            "delta_pts": round((fm - rm) * 100, 2),
+                            "n_ref": int(mask_r.sum()),
+                            "n_fw": int(mask_f.sum()),
+                        }
+                basin["per_probe"][p] = row
+            v["basin"] = basin
         summary[variant] = v
     return summary
 
@@ -599,20 +738,59 @@ def to_markdown(results) -> str:
                      f"{len(t['runs'])} seed(s); feature gap "
                      f"{max(r['feature_max_abs_gap'] for r in t['runs']):.1e})")
         lines.append("")
+        k = len(t["runs"][0].get("train_seeds", [0]))
+        lines.append(f"Training seeds per corpus seed K={k}; framework arm "
+                     f"trained on the fused multi-run engine "
+                     f"(`fit_multi_run`, one compile per variant). "
+                     f"'best-of-K' selects each pipeline's val-loss-best "
+                     f"restart per corpus seed — the same protocol on both "
+                     f"sides.")
+        lines.append("")
         lines.append("| variant | probe | reference | framework | "
-                     "delta (pts) ± stderr |")
-        lines.append("|---|---|---|---|---|")
+                     "delta (pts) ± stderr | best-of-K delta ± stderr |")
+        lines.append("|---|---|---|---|---|---|")
         for variant, rows in t["summary"].items():
             for probe, r in rows.items():
+                if probe == "basin":
+                    continue
                 se = r.get("delta_stderr_pts", 0.0)
                 ok = abs(r["delta_pts"]) <= max(0.5, 2 * se)
+                bse = r.get("bok_delta_stderr_pts", 0.0)
+                bok = r.get("bok_delta_pts", r["delta_pts"])
+                ok = ok or abs(bok) <= max(0.5, 2 * bse)
                 flag = "" if ok else " ⚠"
                 lines.append(
                     f"| {variant} | {probe} | {r['reference']:.4f} | "
                     f"{r['framework']:.4f} | {r['delta_pts']:+.2f} "
-                    f"± {se:.2f}{flag} |"
+                    f"± {se:.2f} | {bok:+.2f} ± {bse:.2f}{flag} |"
                 )
         lines.append("")
+        for variant, rows in t["summary"].items():
+            basin = rows.get("basin")
+            if not basin:
+                continue
+            lines.append(
+                f"### {variant}: basin-resolved (bimodal clean accuracy, "
+                f"threshold {basin['clean_threshold']:.3f}, "
+                f"{basin['n_runs_per_pipeline']} runs/pipeline)")
+            lines.append("")
+            lines.append(
+                f"Upper-basin frequency: reference "
+                f"{basin['reference_upper_frac']:.0%} vs framework "
+                f"{basin['framework_upper_frac']:.0%} — matched basin "
+                f"frequencies mean the bistability is a property of the "
+                f"RECIPE, not of either implementation.")
+            lines.append("")
+            lines.append("| probe | basin | reference | framework | "
+                         "delta (pts) | n (ref/fw) |")
+            lines.append("|---|---|---|---|---|---|")
+            for probe, row in basin["per_probe"].items():
+                for bname, b in row.items():
+                    lines.append(
+                        f"| {probe} | {bname} | {b['reference']:.4f} | "
+                        f"{b['framework']:.4f} | {b['delta_pts']:+.2f} | "
+                        f"{b['n_ref']}/{b['n_fw']} |")
+            lines.append("")
         if "cross" in t["runs"][0]:
             lines.append(
                 "Same-weights cross-probe: the reference-trained Keras "
@@ -622,17 +800,21 @@ def to_markdown(results) -> str:
                 "delta here isolates the eval/attack implementation at "
                 "identical weights (training variance excluded).")
             lines.append("")
-            lines.append("| variant | probe | keras stack | framework "
-                         "stack (same weights) | delta (pts) ± stderr |")
+            lines.append("| variant | probe | keras stack (best-of-K) | "
+                         "framework stack (same weights) | "
+                         "delta (pts) ± stderr |")
             lines.append("|---|---|---|---|---|")
             for variant, rows in t["summary"].items():
                 for probe, r in rows.items():
+                    if probe == "basin" or "cross_delta_pts" not in r:
+                        continue
                     cse = r.get("cross_delta_stderr_pts", 0.0)
                     cd = r["cross_delta_pts"]
                     ok = abs(cd) <= max(0.5, 2 * cse)
                     flag = "" if ok else " ⚠"
                     lines.append(
-                        f"| {variant} | {probe} | {r['reference']:.4f} | "
+                        f"| {variant} | {probe} | "
+                        f"{r['reference_bok']:.4f} | "
                         f"{r['cross']:.4f} | {cd:+.2f} ± {cse:.2f}{flag} |"
                     )
             lines.append("")
@@ -642,6 +824,15 @@ def to_markdown(results) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--train-seeds", type=int, default=1,
+                    help="training seeds PER corpus seed (K). The framework"
+                         " arm fuses all K into one fit_multi_run program;"
+                         " the Keras arm runs K sequential fits. K>1 feeds"
+                         " the best-of-K and per-basin reporting.")
+    ap.add_argument("--merge", action="store_true",
+                    help="load an existing --out JSON and only overwrite "
+                         "the tasks run this invocation (lets digit and "
+                         "speaker run with different K into one artifact)")
     ap.add_argument("--tasks", default="digit,speaker")
     ap.add_argument("--files-per-class", type=int, default=240)
     ap.add_argument("--recordings", type=int, default=24)
@@ -676,11 +867,22 @@ def main():
             "digit_epochs": args.digit_epochs,
             "speaker_epochs": args.speaker_epochs,
             "patience": args.patience, "seeds": args.seeds,
+            "train_seeds": args.train_seeds,
             "framework_bf16": bool(args.bf16),
         },
         "speech_commands_fetch": try_fetch_speech_commands(),
         "tasks": {},
     }
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        # keep previously-run tasks; per-task K is recorded in the runs'
+        # train_seeds, so mixed-K artifacts stay self-describing
+        results["tasks"].update(prev.get("tasks", {}))
+        results["protocol"]["train_seeds_by_invocation"] = (
+            prev.get("protocol", {}).get("train_seeds_by_invocation", [])
+            + [{"tasks": args.tasks, "train_seeds": args.train_seeds,
+                "seeds": args.seeds}])
     tasks = [t.strip() for t in args.tasks.split(",") if t.strip()]
     unknown = [t for t in tasks if t not in ("digit", "speaker")]
     if unknown:

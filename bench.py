@@ -1,7 +1,11 @@
 """Benchmark: end-to-end robust-ASR pipeline throughput on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints ONE COMPACT JSON line (kept < 1900 chars so the driver's 2000-char
+tail capture can always parse it — the round-3 full record overflowed it):
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "headline": {...rounded headline keys...}, "full_record": "bench_full.json"}
+The complete measurement record (every backend, precision A/B, FLOP/s,
+sanity sentinel) is written to bench_full.json alongside this script.
 
 Pipeline measured (per BASELINE.json north star "MFCC+train utterances/sec/
 chip"): fused MFCC featurization + one training epoch (Adam+CCE+BN+dropout +
@@ -247,28 +251,48 @@ def measure_tpu(quick: bool = False) -> dict:
             )
     except Exception:
         t_speaker_pallas = None
-    t_speaker_best = min(t for t in (t_speaker, t_speaker_x3,
+    # HEADLINE = the full-parity default (bf16_x6, 4.9e-4 vs the f64 oracle),
+    # matching the parity bar every digit headline is quoted at (VERDICT r3
+    # weak-item 4). The reduced-parity modes (bf16_x3, ~2.4e-3) are reported
+    # under explicit *_fast keys.
+    speaker_utts_per_s = b_mfcc / t_speaker
+    speaker_backend = "xla_bf16x6"
+    t_speaker_fast = min(t for t in (t_speaker, t_speaker_x3,
                                      t_speaker_pallas) if t is not None)
-    speaker_utts_per_s = b_mfcc / t_speaker_best
-    speaker_backend = ("xla_bf16x6" if t_speaker_best == t_speaker
-                       else "xla_bf16x3" if t_speaker_best == t_speaker_x3
-                       else "pallas_bf16x3")
+    speaker_fast_backend = ("xla_bf16x6" if t_speaker_fast == t_speaker
+                            else "xla_bf16x3"
+                            if t_speaker_fast == t_speaker_x3
+                            else "pallas_bf16x3")
 
     # Stage 2: constrained training step (digit recipe: batch 512, NonNeg +
-    # simple_norm rho=0.1 in-step projection), in f32 and in bf16 mixed
-    # precision (f32 master weights; parity-gated by TestBF16Parity and the
-    # accuracy study — VERDICT r2 item 2).
+    # simple_norm rho=0.1 in-step projection). Variants (VERDICT r3 item 2 —
+    # attack the step's HBM traffic term):
+    #   f32       the baseline recipe
+    #   bf16      bf16 Dense compute, f32 everything else (r3's A/B)
+    #   lean      f32 compute + bf16-STORED Adam moments + bf16 power-
+    #             iteration matvecs (the traffic levers; math stays f32)
+    #   lean_bf16 both sets of levers combined
     mcfg = MLPConfig.digit_constrained()
     bs = 512
     trainer_cfg = TrainConfig(batch_size=bs)
+    trainer_cfg_lean = TrainConfig(batch_size=bs,
+                                   adam_moments_dtype="bfloat16")
     con = make_simple_norm_constraint(0.1, n_iter=4)
+    con_lean = make_simple_norm_constraint(0.1, n_iter=4,
+                                           matvec_dtype=jnp.bfloat16)
+    variants = {
+        "f32": (mcfg, trainer_cfg, con),
+        "bf16": (mcfg.with_bf16(), trainer_cfg, con),
+        "lean": (mcfg, trainer_cfg_lean, con_lean),
+        "lean_bf16": (mcfg.with_bf16(), trainer_cfg_lean, con_lean),
+    }
     x = jax.device_put(rng.standard_normal((bs, 880)).astype(np.float32))
     y = jax.device_put(rng.integers(0, 10, bs).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
-    def measure_train_step(cfg):
+    def measure_train_step(cfg, tcfg, con):
         params, state = init_mlp(cfg, jax.random.PRNGKey(0))
-        trainer = Trainer(cfg, trainer_cfg, constraint=con.apply,
+        trainer = Trainer(cfg, tcfg, constraint=con.apply,
                           constraint_state=con.init(params))
         opt_state = trainer.optimizer.init(params)
         cstate = con.init(params)
@@ -303,9 +327,14 @@ def measure_tpu(quick: bool = False) -> dict:
                                 n_iter_train)
         return t, trainer, p2, s2
 
-    t_train_f32, trainer, params2, state2 = measure_train_step(mcfg)
-    t_train_bf16, _, _, _ = measure_train_step(mcfg.with_bf16())
-    t_train = min(t_train_f32, t_train_bf16)
+    t_train_v = {}
+    for name, (cfg_v, tcfg_v, con_v) in variants.items():
+        t_v, trainer_v, p_v, s_v = measure_train_step(cfg_v, tcfg_v, con_v)
+        t_train_v[name] = t_v
+        if name == "f32":
+            trainer, params2, state2 = trainer_v, p_v, s_v
+    train_variant = min(t_train_v, key=t_train_v.get)
+    t_train = t_train_v[train_variant]
     train_utts_per_s = bs / t_train
 
     # Stage 2b: fused device-resident epoch at reference scale (the whole
@@ -322,13 +351,18 @@ def measure_tpu(quick: bool = False) -> dict:
         np.resize(rng.integers(0, 10, n_true).astype(np.int32), n_pad))
     pk, dk = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
 
-    def measure_epoch(cfg):
-        ep_fn = build_epoch_fn(cfg, trainer.optimizer, constraint=con.apply,
-                               batch_size=bs, epochs_per_call=n_epochs_chain)
+    def measure_epoch(cfg, opt, con):
+        # reshuffle_inner=False is the REFERENCE recipe (tf.data
+        # reshuffle_each_iteration=False, SURVEY §2 row 6) and what
+        # Trainer.fit dispatches by default; it also lets epoch_scan hoist
+        # the 2x-58MB shuffle gather out of the inner epoch loop.
+        ep_fn = build_epoch_fn(cfg, opt, constraint=con.apply,
+                               batch_size=bs, epochs_per_call=n_epochs_chain,
+                               reshuffle_inner=False)
 
         def fresh_trees(seed):
             p, s = init_mlp(cfg, jax.random.PRNGKey(seed))
-            return p, s, trainer.optimizer.init(p), con.init(p)
+            return p, s, opt.init(p), con.init(p)
 
         def fetch(trees, n_calls):
             # chain n_calls dispatches of the SAME compiled program by
@@ -347,9 +381,47 @@ def measure_tpu(quick: bool = False) -> dict:
         )
         return t_per_call / n_epochs_chain
 
-    t_epoch_f32 = measure_epoch(mcfg)
-    t_epoch_bf16 = measure_epoch(mcfg.with_bf16())
-    t_epoch = min(t_epoch_f32, t_epoch_bf16)
+    from asr_using_robust_nn_tpu.train.trainer import adam_optimizer
+
+    t_epoch_v = {}
+    for name, (cfg_v, tcfg_v, con_v) in variants.items():
+        opt_v = adam_optimizer(tcfg_v.learning_rate,
+                               tcfg_v.adam_moments_dtype)
+        t_epoch_v[name] = measure_epoch(cfg_v, opt_v, con_v)
+
+    # Pallas fused-step epoch (ops/pallas_train.py): weights VMEM-resident
+    # across fwd+bwd+Adam+projection, grads never in HBM — the round-4
+    # answer to the step's HBM roofline (VERDICT r3 item 2).
+    pallas_epoch_error = None
+    try:
+        if jax.default_backend() in ("tpu", "axon"):
+            from asr_using_robust_nn_tpu.ops.pallas_train import (
+                FusedStepSpec, build_fused_epoch_fn, pack_state,
+                pad_features)
+
+            spec = FusedStepSpec(cfg=mcfg, batch=bs, rho=0.1, pi_iters=4)
+            ep_pl = build_fused_epoch_fn(spec,
+                                         epochs_per_call=n_epochs_chain,
+                                         reshuffle_inner=False)
+            data_p = pad_features(spec, data)
+
+            def fresh_fs(seed):
+                return pack_state(spec,
+                                  *init_mlp(mcfg, jax.random.PRNGKey(seed)))
+
+            def fetch_pl(fs, n_calls):
+                out = ep_pl(fs, data_p, lab, pk, dk, n_true=n_true)
+                for _ in range(n_calls - 1):
+                    out = ep_pl(out[0], data_p, lab, pk, dk, n_true=n_true)
+                return float(np.asarray(out[1]))
+
+            t_call, _ = _paired_time(fetch_pl, lambda i: fresh_fs(50 + i),
+                                     1, rtt)
+            t_epoch_v["pallas"] = t_call / n_epochs_chain
+    except Exception as e:  # record, never sink the whole bench
+        pallas_epoch_error = f"{type(e).__name__}: {e}"[:300]
+    epoch_variant = min(t_epoch_v, key=t_epoch_v.get)
+    t_epoch = t_epoch_v[epoch_variant]
 
     # Stage 2c: fused MULTI-RUN epoch (train/multi_run.py) — R independent
     # trainings vmapped into one program on the same HBM-resident split.
@@ -369,15 +441,15 @@ def measure_tpu(quick: bool = False) -> dict:
 
     n_runs = 8
 
-    def measure_multi_epoch(cfg):
+    def measure_multi_epoch(cfg, opt, con):
         mr_fn = build_multi_run_epoch_fn(
-            cfg, trainer.optimizer, con.apply, batch_size=bs,
+            cfg, opt, con.apply, batch_size=bs,
             epochs_per_call=n_epochs_chain)
         act = jax.device_put(np.ones((n_runs,), bool))
 
         def fresh_trees(seed):
             st = init_multi_run_state(
-                cfg, trainer.optimizer,
+                cfg, opt,
                 list(range(seed, seed + n_runs)), con.init)
             return st  # (params, state, opt_state, cstate, kp, kd)
 
@@ -394,9 +466,14 @@ def measure_tpu(quick: bool = False) -> dict:
             fetch, lambda i: fresh_trees(100 + i * n_runs), 1, rtt)
         return t_per_call / n_epochs_chain  # seconds per R-run epoch
 
-    t_mr_f32 = measure_multi_epoch(mcfg)
-    t_mr_bf16 = measure_multi_epoch(mcfg.with_bf16())
-    t_mr = min(t_mr_f32, t_mr_bf16)
+    t_mr_v = {}
+    for name in ("f32", "bf16", "lean"):
+        cfg_v, tcfg_v, con_v = variants[name]
+        opt_v = adam_optimizer(tcfg_v.learning_rate,
+                               tcfg_v.adam_moments_dtype)
+        t_mr_v[name] = measure_multi_epoch(cfg_v, opt_v, con_v)
+    mr_variant = min(t_mr_v, key=t_mr_v.get)
+    t_mr = t_mr_v[mr_variant]
 
     # Stage 3: FGSM adversarial eval (generate adversarial batch + predict).
     def logits_fn(xx):
@@ -468,22 +545,27 @@ def measure_tpu(quick: bool = False) -> dict:
         "mfcc_backend": mfcc_backend,
         "mfcc_speaker_utts_per_s": speaker_utts_per_s,
         "mfcc_speaker_backend": speaker_backend,
-        "mfcc_speaker_utts_per_s_default": b_mfcc / t_speaker,
+        "mfcc_speaker_parity": 4.9e-4,  # max |err| vs f64 oracle on TPU
+        "mfcc_speaker_utts_per_s_fast": b_mfcc / t_speaker_fast,
+        "mfcc_speaker_backend_fast": speaker_fast_backend,
+        "mfcc_speaker_parity_fast": 2.4e-3,
         "train_utts_per_s": train_utts_per_s,
-        "train_precision": "bf16" if t_train == t_train_bf16 else "f32",
-        "train_utts_per_s_f32": bs / t_train_f32,
-        "train_utts_per_s_bf16": bs / t_train_bf16,
+        "train_precision": train_variant,
+        "train_utts_per_s_by_variant": {k: bs / v
+                                        for k, v in t_train_v.items()},
         "fused_epoch_ms": t_epoch * 1e3,
-        "fused_epoch_precision": "bf16" if t_epoch == t_epoch_bf16 else "f32",
-        "fused_epoch_ms_f32": t_epoch_f32 * 1e3,
-        "fused_epoch_ms_bf16": t_epoch_bf16 * 1e3,
+        "fused_epoch_precision": epoch_variant,
+        "fused_epoch_variant": epoch_variant,
+        "fused_epoch_ms_by_variant": {k: v * 1e3
+                                      for k, v in t_epoch_v.items()},
+        "fused_epoch_pallas_error": pallas_epoch_error,
         "fused_epoch_rows": n_true,
         "multi_run_epoch_ms": t_mr * 1e3,
         "multi_run_epoch_ms_per_run": t_mr * 1e3 / n_runs,
         "multi_run_n_runs": n_runs,
-        "multi_run_precision": "bf16" if t_mr == t_mr_bf16 else "f32",
-        "multi_run_epoch_ms_f32": t_mr_f32 * 1e3,
-        "multi_run_epoch_ms_bf16": t_mr_bf16 * 1e3,
+        "multi_run_precision": mr_variant,
+        "multi_run_epoch_ms_by_variant": {k: v * 1e3
+                                          for k, v in t_mr_v.items()},
         "multi_run_scaling_vs_single": (t_epoch * n_runs) / t_mr,
         "fgsm_utts_per_s": fgsm_utts_per_s,
         "pipeline_utts_per_s": 1.0 / per_utt,
@@ -597,7 +679,7 @@ def main(quick: bool = False) -> int:
     vs = None
     if ref and ref.get("pipeline_utts_per_s"):
         vs = stats["pipeline_utts_per_s"] / ref["pipeline_utts_per_s"]
-    out = {
+    full = {
         "metric": "MFCC+train+FGSM pipeline throughput",
         "value": round(stats["pipeline_utts_per_s"], 2),
         "unit": "utterances/sec/chip",
@@ -605,7 +687,46 @@ def main(quick: bool = False) -> int:
         "detail": stats,
         "reference_cpu": ref,
     }
-    print(json.dumps(out))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    # stdout gets ONE COMPACT line (< ~1500 chars): the round-3 full record
+    # outgrew the driver's 2000-char tail capture and landed unparseable
+    # (BENCH_r03.json parsed=null — VERDICT r3 item 1). Headline keys are
+    # rounded; the complete record lives in bench_full.json.
+    mfu = stats.get("mfu_vs_peak") or {}
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "vs_baseline": full["vs_baseline"],
+        "headline": {
+            "mfcc_digit_utts_per_s": round(stats["mfcc_utts_per_s"], 1),
+            "mfcc_backend": stats["mfcc_backend"],
+            "mfcc_speaker_utts_per_s": round(
+                stats["mfcc_speaker_utts_per_s"], 1),
+            "mfcc_speaker_backend": stats["mfcc_speaker_backend"],
+            "train_utts_per_s": round(stats["train_utts_per_s"], 1),
+            "train_precision": stats["train_precision"],
+            "fused_epoch_ms": round(stats["fused_epoch_ms"], 4),
+            "fused_epoch_variant": stats.get("fused_epoch_variant",
+                                             stats["fused_epoch_precision"]),
+            "multi_run_epoch_ms_per_run": round(
+                stats["multi_run_epoch_ms_per_run"], 4),
+            "fgsm_utts_per_s": round(stats["fgsm_utts_per_s"], 1),
+            "mfu_vs_peak": {k: round(v, 4) for k, v in mfu.items()
+                            if isinstance(v, float) and v < 1e6},
+            "device_kind": mfu.get("device_kind"),
+            "backend": stats["backend"],
+            "rtt_ms": round(stats["rtt_ms"], 2),
+            "contention_suspected": stats["sanity"]["contention_suspected"],
+        },
+        "full_record": "bench_full.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
     return 0
 
 
