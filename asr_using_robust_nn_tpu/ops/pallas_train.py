@@ -60,7 +60,8 @@ import numpy as np
 from ..models.mlp import MLPConfig
 
 __all__ = ["FusedStepSpec", "pack_state", "unpack_params",
-           "build_fused_step", "build_fused_epoch_fn"]
+           "build_fused_step", "build_fused_epoch_call",
+           "build_fused_epoch_fn"]
 
 _LANE = 128
 
@@ -539,6 +540,413 @@ _SMALL_KEYS = ("b", "m_b", "v_b", "gamma", "m_gamma", "v_gamma",
 
 
 # --------------------------------------------------------------------------
+# the EPOCH kernel: grid over steps, weights resident across the whole epoch
+# --------------------------------------------------------------------------
+
+def _make_epoch_kernel(spec: FusedStepSpec, n_batches: int):
+    """One pallas_call per EPOCH: `grid=(n_batches,)` with every weight,
+    Adam-moment, and BN array bound to a CONSTANT-index VMEM block — the
+    Mosaic pipeline fetches those blocks once before step 0 and writes
+    them back once after the last step, so the only per-step HBM traffic
+    is the batch block (xs/ys/ws) streaming in. Per-epoch traffic at the
+    digit recipe: ~66 MB (gathered batches) + ~27 MB weights/moments
+    in+out ONCE, vs n_batches x ~48 MB for the per-step kernel (whose
+    serialized tile DMAs measured 3.8x SLOWER than the XLA epoch on v5e —
+    the measured negative that motivated this kernel; see bench
+    `fused_epoch_ms_by_variant`).
+
+    The step math is the per-step kernel's exactly, with two structural
+    simplifications possible only at epoch scope: (1) Adam updates write
+    the resident f32 masters/moments in place — no tile streaming, no
+    deferred `scales` vector (the constraint rescale multiplies the
+    resident masters directly); (2) the first grid step copies the input
+    blocks into the aliased output blocks (`@pl.when(step == 0)`), after
+    which every step reads and writes the outputs only — the canonical
+    Mosaic accumulator pattern.
+
+    MEASURED VERDICT (v5e, digit recipe 16566 rows, paired A/B 2026-08-19):
+    8.6-9.4 ms/epoch vs the XLA lean epoch's 4.75 (bench window) — a
+    measured NEGATIVE despite the traffic win. The ablation that explains
+    it: with rho=None the kernel still takes 7.6-8.0 ms/epoch, so the loss
+    is in the step body's GEMMs — Mosaic realizes the dW (contract dim 0 x
+    dim 0) and dx (contract dim 1 x dim 1) dot_generals with explicit
+    relayouts each step, where XLA picks transpose-free layouts once for
+    the whole scan. The WIN hiding inside: the product power iteration
+    costs ~1.0 ms/epoch here (weights VMEM-resident) vs ~3.3 ms/epoch as
+    XLA ops (~45% of the lean epoch) — extracted into its own kernel in
+    ops/pallas_spectral.py and used by the XLA epoch's constraint. Kept
+    for A/B (`bench.py` `fused_epoch_ms_by_variant["pallas"]`).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c = spec.cfg
+    m = spec.n_layers
+    pd = spec.pdims
+    B = spec.batch
+    eps_bn = c.bn_eps
+    mom = c.bn_momentum
+    b1, b2, eps_adam = 0.9, 0.999, 1e-7
+    eps_spacing = float(np.spacing(1.0))
+    drops = tuple(
+        (c.dropout[i] if i < len(c.dropout) else 0.0) for i in range(m - 1))
+    use_bn = c.batch_norm
+
+    def kernel(*refs):
+        it = iter(refs)
+        # ---- inputs ----
+        seeds_ref = next(it)           # SMEM (n_batches,) int32, whole
+        count_ref = next(it)           # SMEM (1,) int32, whole
+        x_ref = next(it)               # VMEM (1, B, pd0) block (this step)
+        y_ref = next(it)               # VMEM (1, B, 1) int32 block
+        wrow_ref3 = next(it)           # VMEM (1, B, 1) f32 block
+        u_in = next(it)                # VMEM (1, pd[-1]) constant block
+        mast_in = [next(it) for _ in range(m)]   # VMEM constant blocks
+        mw_in = [next(it) for _ in range(m)]
+        vw_in = [next(it) for _ in range(m)]
+        sm_in = {k: next(it) for k in _SMALL_KEYS}
+        # ---- outputs (aliased; VMEM-resident across the grid) ----
+        mast = [next(it) for _ in range(m)]
+        mw = [next(it) for _ in range(m)]
+        vw = [next(it) for _ in range(m)]
+        sm = {k: next(it) for k in _SMALL_KEYS}
+        u_ref = next(it)               # (1, pd[-1])
+        count_out = next(it)           # SMEM (1,)
+        loss_ref = next(it)            # VMEM (n_batches, 1), resident
+        acc_ref = next(it)             # VMEM (n_batches, 1), resident
+        # ---- scratch (persist across grid steps; re-written each step
+        # except w16, which carries the updated weights forward) ----
+        w16 = [next(it) for _ in range(m)]        # bf16 compute copies
+        acts = [next(it) for _ in range(m)]
+        xhats = [next(it) for _ in range(m - 1)]
+        muvec = next(it)
+        sdvec = next(it)
+        da_buf = next(it)
+        probs_buf = next(it)
+        rowpad = next(it)
+
+        step_i = pl.program_id(0)
+
+        @pl.when(step_i == 0)
+        def _init():
+            for j in range(m):
+                mast[j][:] = mast_in[j][:]
+                mw[j][:] = mw_in[j][:]
+                vw[j][:] = vw_in[j][:]
+                w16[j][:] = mast_in[j][:].astype(jnp.bfloat16)
+            for k in _SMALL_KEYS:
+                sm[k][:] = sm_in[k][:]
+            u_ref[:] = u_in[:]
+
+        def padrow(row):
+            d = row.shape[0]
+            if d == spec.dmax:
+                return row
+            rowpad[0, :] = jnp.zeros((spec.dmax,), jnp.float32)
+            rowpad[0, :d] = row
+            return rowpad[0, :]
+
+        seed0 = seeds_ref[step_i]
+        wrow = wrow_ref3[0]            # (B, 1)
+        y2 = y_ref[0]                  # (B, 1)
+        denom = jnp.sum(wrow) + 1e-9
+
+        # ---- forward (reads the RESIDENT weights/smalls) ----
+        acts[0][:] = x_ref[0].astype(jnp.bfloat16)
+        logits = None
+        for i in range(m):
+            z = jax.lax.dot(acts[i][:], w16[i][:],
+                            preferred_element_type=jnp.float32)
+            z = z + sm["b"][i, : pd[i + 1]][None, :]
+            if i == m - 1:
+                cmask = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, pd[-1]), 1) >= c.n_classes
+                logits = jnp.where(cmask, -1e9, z)
+                break
+            a = jnp.maximum(z, 0.0)
+            if use_bn:
+                mu = jnp.sum(a * wrow, axis=0, keepdims=True) / denom
+                var = jnp.sum(((a - mu) ** 2) * wrow, axis=0,
+                              keepdims=True) / denom
+                sdinv = jax.lax.rsqrt(var + eps_bn)
+                muvec[i, : pd[i + 1]] = mu[0]
+                sdvec[i, : pd[i + 1]] = sdinv[0]
+                xh = (a - mu) * sdinv
+                xhats[i][:] = xh.astype(jnp.bfloat16)
+                out = (xh * sm["gamma"][i, : pd[i + 1]][None, :]
+                       + sm["beta"][i, : pd[i + 1]][None, :])
+                sm["rmean"][i, :] = (mom * sm["rmean"][i, :]
+                                     + (1 - mom) * padrow(mu[0]))
+                sm["rvar"][i, :] = (mom * sm["rvar"][i, :]
+                                    + (1 - mom) * padrow(var[0]))
+            else:
+                out = a
+                muvec[i, : pd[i + 1]] = jnp.zeros((pd[i + 1],), jnp.float32)
+                sdvec[i, : pd[i + 1]] = jnp.ones((pd[i + 1],), jnp.float32)
+                xhats[i][:] = a.astype(jnp.bfloat16)
+            if drops[i] > 0.0:
+                keep = 1.0 - drops[i]
+                pltpu.prng_seed(seed0 + i)
+                bits = pltpu.prng_random_bits((B, pd[i + 1]))
+                un = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+                out = jnp.where(un < keep, out / keep, 0.0)
+            acts[i + 1][:] = out.astype(jnp.bfloat16)
+
+        # ---- loss / accuracy ----
+        zmax = jnp.max(logits, axis=1, keepdims=True)
+        ez = jnp.exp(logits - zmax)
+        sez = jnp.sum(ez, axis=1, keepdims=True)
+        probs_buf[:] = ez / sez
+        cls = jax.lax.broadcasted_iota(jnp.int32, (B, pd[-1]), 1)
+        onehot = (cls == y2).astype(jnp.float32)
+        logp = logits - zmax - jnp.log(sez)
+        nll = -jnp.sum(logp * onehot, axis=1, keepdims=True)
+        # per-step rows of the RESIDENT (n_batches, 1) outputs: a (1, 1)
+        # moving block would violate Mosaic's (8, 128)-divisibility rule
+        # for non-full blocks, so the whole vector stays in VMEM and each
+        # step writes its own row at a dynamic index
+        loss_ref[pl.ds(step_i, 1), :] = (
+            jnp.sum(nll * wrow) / denom).reshape(1, 1)
+        pred = jnp.argmax(logits, axis=1).reshape(B, 1)
+        acc_ref[pl.ds(step_i, 1), :] = (jnp.sum(
+            (pred == y2).astype(jnp.float32) * wrow) / denom).reshape(1, 1)
+
+        # ---- Adam scalars: t advances per grid step ----
+        t = (count_ref[0] + step_i + 1).astype(jnp.float32)
+        bc1 = 1.0 - jnp.exp(t * float(np.log(b1)))
+        bc2 = 1.0 - jnp.exp(t * float(np.log(b2)))
+        count_out[0] = count_ref[0] + n_batches
+
+        def adam_full(i, dz):
+            """dW = acts[i]^T @ dz, then a full-matrix in-place Adam
+            update of the RESIDENT f32 master + moments. No HBM motion."""
+            g = jax.lax.dot_general(
+                acts[i][:], dz.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (pd[i], pd[i+1])
+            m_ = b1 * mw[i][:] + (1 - b1) * g
+            v_ = b2 * vw[i][:] + (1 - b2) * g * g
+            upd = (m_ / bc1) / (jnp.sqrt(v_ / bc2) + eps_adam)
+            wn = mast[i][:] - spec.lr * upd
+            if c.nonneg:
+                wn = jnp.maximum(wn, 0.0)
+            mast[i][:] = wn
+            mw[i][:] = m_
+            vw[i][:] = v_
+            w16[i][:] = wn.astype(jnp.bfloat16)
+
+        def small_adam(key, i, g_row):
+            mk, vk = "m_" + key, "v_" + key
+            gpad = padrow(g_row)
+            m_ = b1 * sm[mk][i, :] + (1 - b1) * gpad
+            v_ = b2 * sm[vk][i, :] + (1 - b2) * gpad * gpad
+            upd = (m_ / bc1) / (jnp.sqrt(v_ / bc2) + eps_adam)
+            sm[key][i, :] = sm[key][i, :] - spec.lr * upd
+            sm[mk][i, :] = m_
+            sm[vk][i, :] = v_
+
+        # ---- backward (last -> first) ----
+        dz_last = (probs_buf[:] - onehot) * wrow / denom
+        for i in range(m - 1, -1, -1):
+            dout = pd[i + 1]
+            if i == m - 1:
+                dz = dz_last
+            else:
+                dD = da_buf[:, pl.ds(0, dout)]
+                if drops[i] > 0.0:
+                    keep = 1.0 - drops[i]
+                    pltpu.prng_seed(seed0 + i)  # same stream as forward
+                    bits = pltpu.prng_random_bits((B, dout))
+                    un = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+                    dD = jnp.where(un < keep, dD / keep, 0.0)
+                xh = xhats[i][:].astype(jnp.float32)
+                if use_bn:
+                    dgamma = jnp.sum(dD * xh, axis=0)
+                    dbeta = jnp.sum(dD, axis=0)
+                    # read gamma BEFORE its in-place Adam write
+                    dxh = dD * sm["gamma"][i, : dout][None, :]
+                    small_adam("gamma", i, dgamma)
+                    small_adam("beta", i, dbeta)
+                    s1 = jnp.sum(dxh, axis=0, keepdims=True)
+                    s2 = jnp.sum(dxh * xh, axis=0, keepdims=True)
+                    sd = sdvec[i, : dout][None, :]
+                    da = sd * (dxh - (wrow / denom) * s1
+                               - (wrow / denom) * xh * s2)
+                else:
+                    da = dD
+                if use_bn:
+                    thr = (-muvec[i, : dout] * sdvec[i, : dout])[None, :]
+                    relu_mask = xh > thr
+                else:
+                    relu_mask = xh > 0.0
+                dz = jnp.where(relu_mask, da, 0.0)
+            db = jnp.sum(dz, axis=0)
+            small_adam("b", i, db)
+            if i > 0:
+                dx = jax.lax.dot_general(
+                    dz.astype(jnp.bfloat16), w16[i][:],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                adam_full(i, dz)
+                da_buf[:, pl.ds(0, pd[i])] = dx
+            else:
+                adam_full(i, dz)
+
+        # ---- constraint: power iteration + EAGER rescale of the
+        # resident masters (no deferred scales at epoch scope) ----
+        if spec.rho is not None:
+            u = u_ref[:]
+            u = u / (jnp.sqrt(jnp.sum(u * u)) + eps_spacing)
+
+            def matvec_pt(vec):
+                x = vec
+                for j in range(m - 1, -1, -1):
+                    x = jax.lax.dot_general(
+                        x.astype(jnp.bfloat16), w16[j][:],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return x
+
+            def matvec_p(vec):
+                x = vec
+                for j in range(m):
+                    x = jax.lax.dot(
+                        x.astype(jnp.bfloat16), w16[j][:],
+                        preferred_element_type=jnp.float32)
+                return x
+
+            for _ in range(spec.pi_iters):
+                v = matvec_pt(u)
+                v = v / (jnp.sqrt(jnp.sum(v * v)) + eps_spacing)
+                u = matvec_p(v)
+                u = u / (jnp.sqrt(jnp.sum(u * u)) + eps_spacing)
+            v = matvec_pt(u)
+            v = v / (jnp.sqrt(jnp.sum(v * v)) + eps_spacing)
+            sigma = jnp.sum(u * matvec_p(v))
+            u_ref[:] = u
+            for i in range(m):
+                f = jnp.exp(
+                    jnp.log(spec.rho / (sigma + eps_spacing)) * (1.0 / m))
+                w16[i][:] = (w16[i][:].astype(jnp.float32) * f).astype(
+                    jnp.bfloat16)
+                mast[i][:] = mast[i][:] * f
+                sigma = sigma * f
+
+    return kernel
+
+
+def build_fused_epoch_call(spec: FusedStepSpec, n_batches: int):
+    """-> call(fstate, xs, ys, ws, seeds) -> (fstate', losses, accs) where
+    xs: (n_batches, B, pd0) f32 gathered batches, ys: (n_batches, B, 1)
+    int32, ws: (n_batches, B, 1) f32 row weights, seeds: (n_batches,)
+    int32 per-step dropout seeds. losses/accs: (n_batches, 1) f32.
+
+    Any deferred `scales` in fstate (left by the per-step kernel) must be
+    folded before this call — build_fused_epoch_fn does it."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = spec.n_layers
+    pd = spec.pdims
+    B = spec.batch
+    kernel = _make_epoch_kernel(spec, n_batches)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def const2(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0))
+
+    in_specs = (
+        [smem, smem,
+         pl.BlockSpec((1, B, pd[0]), lambda i: (i, 0, 0)),
+         pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0)),
+         pl.BlockSpec((1, B, 1), lambda i: (i, 0, 0)),
+         const2((1, pd[-1]))]
+        + [const2((pd[i], pd[i + 1])) for i in range(m)] * 3
+        + [const2((m, spec.dmax))] * len(_SMALL_KEYS)
+    )
+    f_shapes = [jax.ShapeDtypeStruct((pd[i], pd[i + 1]), jnp.float32)
+                for i in range(m)]
+    sm_shape = jax.ShapeDtypeStruct((m, spec.dmax), jnp.float32)
+    out_shape = (
+        f_shapes + f_shapes + f_shapes
+        + [sm_shape] * len(_SMALL_KEYS)
+        + [jax.ShapeDtypeStruct((1, pd[-1]), jnp.float32),   # u
+           jax.ShapeDtypeStruct((1,), jnp.int32),            # count
+           jax.ShapeDtypeStruct((n_batches, 1), jnp.float32),
+           jax.ShapeDtypeStruct((n_batches, 1), jnp.float32)]
+    )
+    out_specs = (
+        [const2((pd[i], pd[i + 1])) for i in range(m)] * 3
+        + [const2((m, spec.dmax))] * len(_SMALL_KEYS)
+        + [const2((1, pd[-1])), smem,
+           const2((n_batches, 1)),
+           const2((n_batches, 1))]
+    )
+    # inputs: seeds(0) count(1) xs(2) ys(3) ws(4) u(5) mast(6..) mw vw sm
+    # outputs: mast(0..) mw vw sm u count loss acc
+    n_small = len(_SMALL_KEYS)
+    aliases = {6 + k: k for k in range(3 * m)}
+    for j in range(n_small):
+        aliases[6 + 3 * m + j] = 3 * m + j
+    aliases[5] = 3 * m + n_small  # u
+
+    scratch = (
+        [pltpu.VMEM((pd[i], pd[i + 1]), jnp.bfloat16) for i in range(m)]
+        + [pltpu.VMEM((B, pd[i]), jnp.bfloat16) for i in range(m)]
+        + [pltpu.VMEM((B, pd[i + 1]), jnp.bfloat16) for i in range(m - 1)]
+        + [pltpu.VMEM((m, spec.dmax), jnp.float32),
+           pltpu.VMEM((m, spec.dmax), jnp.float32),
+           pltpu.VMEM((B, spec.dmax), jnp.float32),
+           pltpu.VMEM((B, pd[-1]), jnp.float32),
+           pltpu.VMEM((1, spec.dmax), jnp.float32)]
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_batches,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        interpret=spec.interpret,
+        compiler_params=None if spec.interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),  # steps are sequential
+        ),
+    )
+
+    def run(fstate, xs, ys, ws, seeds):
+        sm = fstate["small"]
+        outs = call(
+            seeds.astype(jnp.int32),
+            fstate["count"],
+            xs, ys, ws,
+            fstate["u"],
+            *fstate["masters"], *fstate["mw"], *fstate["vw"],
+            *[sm[k] for k in _SMALL_KEYS],
+        )
+        masters = tuple(outs[:m])
+        mw = tuple(outs[m:2 * m])
+        vw = tuple(outs[2 * m:3 * m])
+        sm_new = {k: outs[3 * m + j] for j, k in enumerate(_SMALL_KEYS)}
+        u, count, losses, accs = outs[3 * m + n_small:]
+        fnew = {
+            "masters": masters,
+            # the resident masters already carry every rescale: the bf16
+            # copies are a pure cast of them
+            "w16": tuple(w.astype(jnp.bfloat16) for w in masters),
+            "mw": mw, "vw": vw, "small": sm_new,
+            "scales": jnp.ones((1, _LANE), jnp.float32),
+            "u": u, "count": count,
+        }
+        return fnew, losses, accs
+
+    return run
+
+
+# --------------------------------------------------------------------------
 # the jit-facing step and epoch builders
 # --------------------------------------------------------------------------
 
@@ -651,15 +1059,26 @@ def build_fused_step(spec: FusedStepSpec):
 
 def build_fused_epoch_fn(spec: FusedStepSpec, shuffle: bool = True,
                          epochs_per_call: int = 1,
-                         reshuffle_inner: bool = False):
+                         reshuffle_inner: bool = False,
+                         scan_steps: bool = False):
     """-> jitted `epoch(fstate, data_pad, labels, perm_key, drop_key,
     n_true)` -> (fstate', mean_loss, mean_acc) — the Pallas twin of
     `train/epoch_scan.py::build_epoch_fn`, operating on the packed fused
     state. `data_pad` is (N_pad, pdims[0]) f32, feature- AND row-padded
-    (multiple of spec.batch). The shuffle gather stays XLA (one pass over
-    the split); every train step is one fused kernel."""
+    (multiple of spec.batch).
+
+    Default path: the shuffle gather stays XLA (one pass over the split),
+    then the WHOLE epoch runs as ONE grid pallas_call — weights, Adam
+    moments, and BN state stay VMEM-resident across every step
+    (`build_fused_epoch_call`; measured SLOWER than the XLA lean epoch —
+    see `_make_epoch_kernel`'s verdict — so `train/epoch_scan.py` remains
+    the production path and this is the A/B arm). `scan_steps=True` keeps
+    the older lax.scan-of-step-kernels form (measured 3.8x slower still:
+    its per-step tile DMAs serialize; kept for A/B and as the arbitrary-
+    n_batches fallback)."""
     B = spec.batch
-    step = build_fused_step(spec)
+    step = build_fused_step(spec) if scan_steps else None
+    epoch_calls: dict[int, object] = {}
 
     def one_epoch(fstate, data, labels, perm_key, drop_key, n_true):
         n_pad = data.shape[0]
@@ -677,15 +1096,35 @@ def build_fused_epoch_fn(spec: FusedStepSpec, shuffle: bool = True,
             lambda i: jax.random.randint(
                 jax.random.fold_in(drop_key, i), (), 0, 2 ** 31 - 1)
         )(jnp.arange(n_batches))
+        ns = jnp.sum(ws, axis=1)
+        total = jnp.sum(ns)
+
+        if not scan_steps:
+            run = epoch_calls.get(n_batches)
+            if run is None:
+                run = build_fused_epoch_call(spec, n_batches)
+                epoch_calls[n_batches] = run
+            # fold any deferred per-step-kernel scales into the masters:
+            # the epoch kernel keeps its masters current (eager rescale)
+            sc = fstate["scales"]
+            fstate = {**fstate,
+                      "masters": tuple(
+                          w * sc[0, i]
+                          for i, w in enumerate(fstate["masters"])),
+                      "scales": jnp.ones_like(sc)}
+            fstate, losses, accs = run(
+                fstate, xs, ys[..., None], ws[..., None], seeds)
+            losses, accs = losses[:, 0], accs[:, 0]
+            return (fstate, jnp.sum(losses * ns) / total,
+                    jnp.sum(accs * ns) / total)
 
         def body(fs, batch):
             x, y, w, sd = batch
             fs, loss, acc = step(fs, x, y, w, sd)
             return fs, (loss, acc, jnp.sum(w))
 
-        fstate, (losses, accs, ns) = jax.lax.scan(
+        fstate, (losses, accs, _) = jax.lax.scan(
             body, fstate, (xs, ys, ws, seeds))
-        total = jnp.sum(ns)
         return (fstate, jnp.sum(losses * ns) / total,
                 jnp.sum(accs * ns) / total)
 

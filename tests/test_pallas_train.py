@@ -178,3 +178,68 @@ class TestFusedStep:
                                   jax.random.fold_in(jax.random.PRNGKey(2),
                                                      e), n_true=256)
         assert float(acc) > 0.9
+
+
+class TestEpochGridKernel:
+    """The grid epoch kernel (whole epoch = ONE pallas_call, weights
+    resident across steps) must match the scan-of-step-kernels path
+    exactly: same math, only the residency changes (eager vs deferred
+    constraint scaling is algebraically the same multiply)."""
+
+    def test_grid_equals_scan_steps(self, rng):
+        x, y = blobs_task(rng, n=128, d=20, k=4)
+        spec = small_spec()  # rho=0.5, nonneg, BN, dropout 0
+        _, _, params, state = xla_trainer(spec)
+        data = pad_features(spec, x)
+        lab = jnp.asarray(y, jnp.int32)
+        outs = {}
+        for name, scan in [("grid", False), ("steps", True)]:
+            ep = build_fused_epoch_fn(spec, epochs_per_call=1,
+                                      scan_steps=scan)
+            fs = pack_state(spec, params, state)
+            fs, loss, acc = ep(fs, data, lab, jax.random.PRNGKey(1),
+                               jax.random.PRNGKey(2), n_true=128)
+            pp, ss = unpack_params(spec, fs)
+            outs[name] = (np.asarray(loss), np.asarray(acc), pp, ss,
+                          jax.tree.map(np.asarray, fs["mw"]))
+        # tolerances: the two paths compute identical math, but the
+        # full-matrix vs row-tiled dW GEMMs accumulate bf16 products in
+        # different codegen orders, and early Adam amplifies O(1e-7)
+        # gradient noise to a full +-lr flip wherever |g| is near zero
+        # (update ~ sign(g) at t=1) — hence one epoch (2 steps) and
+        # step-size-scale tolerances, not bitwise equality
+        np.testing.assert_allclose(outs["grid"][0], outs["steps"][0],
+                                   atol=5e-4)
+        np.testing.assert_allclose(outs["grid"][1], outs["steps"][1],
+                                   atol=1e-6)
+        for a, b in zip(outs["grid"][2]["layers"],
+                        outs["steps"][2]["layers"]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]), atol=2.5e-3)
+            np.testing.assert_allclose(np.asarray(a["b"]),
+                                       np.asarray(b["b"]), atol=2.5e-3)
+        for a, b in zip(jax.tree.leaves(outs["grid"][4]),
+                        jax.tree.leaves(outs["steps"][4])):
+            np.testing.assert_allclose(a, b, atol=1e-3)
+        # BN running stats too
+        np.testing.assert_allclose(
+            np.asarray(outs["grid"][3]["layers"][0]["mean"]),
+            np.asarray(outs["steps"][3]["layers"][0]["mean"]), atol=1e-4)
+
+    def test_grid_count_and_ragged_rows(self, rng):
+        """Padded rows masked; Adam count advances by n_batches/epoch."""
+        x, y = blobs_task(rng, n=100, d=20, k=4)  # 100 -> pad to 128
+        spec = small_spec(rho=None)
+        _, _, params, state = xla_trainer(spec)
+        data = pad_features(spec, np.concatenate(
+            [x, np.full((28, 20), 7.0, np.float32)]))
+        lab = jnp.asarray(np.concatenate([y, np.zeros(28, np.int64)]),
+                          jnp.int32)
+        ep = build_fused_epoch_fn(spec, epochs_per_call=1)
+        fs = pack_state(spec, params, state)
+        for e in range(3):
+            fs, loss, acc = ep(fs, data, lab, jax.random.PRNGKey(1),
+                               jax.random.fold_in(jax.random.PRNGKey(2), e),
+                               n_true=100)
+        assert int(fs["count"][0]) == 6  # 2 batches x 3 epochs
+        assert np.isfinite(float(loss))
