@@ -108,7 +108,7 @@ def make_custom_constraint(rho: float) -> Constraint:
 
 def make_simple_norm_constraint(
     rho: float, affected_layers_indices: tuple[int, ...] = (),
-    n_iter: int = 16, matvec_dtype=None,
+    n_iter: int = 16, matvec_dtype=None, pi_backend: str = "auto",
 ) -> Constraint:
     """Algorithm 2 (`simple_norm_constraint`, Constraints.py:135-189):
     per layer, sigma = ||W_m^T ... W_1^T||_2 recomputed from the LIVE
@@ -127,7 +127,27 @@ def make_simple_norm_constraint(
     drops ~2x at an O(1e-3)-relative sigma perturbation — the training
     dynamics converge sigma -> rho over batches either way (VERDICT r3
     item 2; parity-gated in tests/test_constraints.py).
+
+    `pi_backend`: "pallas" runs the whole power iteration as ONE TPU
+    kernel with every weight matrix VMEM-resident for the full dependent
+    chain (ops/pallas_spectral.py); "xla" keeps the op-chain form; "auto"
+    (default) currently resolves to "xla" everywhere — MEASURED NEGATIVE
+    on v5e (paired A/B 2026-08-19/20, digit recipe, quiet window): the
+    per-STEP pallas_call launch adds ~50 us/step over the ~100 us op
+    chain it replaces — lean epoch 6.25 vs 4.68 ms/epoch, same window;
+    landing sigma identical (0.1002 vs 0.1003 at rho=0.1). A
+    VMEM-resident PI only pays off amortized inside an epoch-scope kernel
+    (ops/pallas_train.py::_make_epoch_kernel: ~1.0 vs ~3.3 ms/epoch for
+    the same chain). The pallas path honors `matvec_dtype` (bf16 matvecs
+    iff it is bfloat16, f32 iff None); agreement with the XLA path is
+    bf16-accumulation-order class, parity-gated in
+    tests/test_constraints.py::TestPallasPI.
     """
+    if pi_backend not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown pi_backend {pi_backend!r}")
+
+    def _use_pallas():
+        return pi_backend == "pallas"
 
     def init(params):
         w_last = dense_kernels(params)[-1]
@@ -161,10 +181,18 @@ def make_simple_norm_constraint(
         # reference's per-layer recompute collapses to ONE power iteration
         # followed by the exact scalar recurrence
         #   f_k = (rho / sigma_k)^(1/m),  sigma_{k+1} = sigma_k * f_k.
-        sigma, u = product_spectral_norm_with_state(
-            ws, cstate["u"], n_iter=n_iter, eps=_EPS,
-            matvec_dtype=matvec_dtype,
-        )
+        if _use_pallas():
+            from ..ops.pallas_spectral import product_spectral_norm_pallas
+
+            sigma, u = product_spectral_norm_pallas(
+                ws, cstate["u"], n_iter=n_iter, eps=_EPS,
+                matvec_bf16=matvec_dtype is not None,
+            )
+        else:
+            sigma, u = product_spectral_norm_with_state(
+                ws, cstate["u"], n_iter=n_iter, eps=_EPS,
+                matvec_dtype=matvec_dtype,
+            )
         for i in affected:
             factor = (rho / (sigma + _EPS)) ** (1.0 / m)
             ws[i] = ws[i] * factor

@@ -307,3 +307,59 @@ class TestTrainingIntegration:
         res = tr.fit(x[:96], y[:96], x[96:], y[96:])
         sigma = product_norm_oracle(dense_kernels(res["params"]))
         assert sigma <= rho * 1.05, sigma
+
+
+class TestPallasPI:
+    """ops/pallas_spectral.py: the one-kernel product power iteration must
+    match the XLA op-chain form (ops/spectral.py) and the numpy oracle —
+    interpret mode on CPU; the real-TPU path is exercised by bench.py and
+    the verify drive."""
+
+    def _stack(self, rng):
+        return [rng.standard_normal(s).astype(np.float32) * 0.5
+                for s in [(20, 16), (16, 8), (8, 4)]]
+
+    def test_matches_oracle_and_xla(self, rng):
+        from asr_using_robust_nn_tpu.ops.pallas_spectral import (
+            product_spectral_norm_pallas)
+        from asr_using_robust_nn_tpu.ops.spectral import (
+            product_spectral_norm_with_state)
+
+        ws = [jnp.asarray(w) for w in self._stack(rng)]
+        u0 = jax.random.normal(jax.random.PRNGKey(23), (4,), jnp.float32)
+        want = product_norm_oracle(ws)
+        for bf16 in (False, True):
+            sig, u = product_spectral_norm_pallas(
+                ws, u0, n_iter=64, matvec_bf16=bf16, interpret=True)
+            rtol = 2e-2 if bf16 else 1e-4
+            np.testing.assert_allclose(float(sig), want, rtol=rtol)
+            # u carry: unit-norm left singular vector estimate
+            np.testing.assert_allclose(
+                float(jnp.linalg.norm(u)), 1.0, rtol=1e-5)
+        # exact-flavor agreement vs the XLA chain at identical settings
+        sig_p, u_p = product_spectral_norm_pallas(
+            ws, u0, n_iter=8, matvec_bf16=True, interpret=True)
+        sig_x, u_x = product_spectral_norm_with_state(
+            ws, u0, n_iter=8, matvec_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(float(sig_p), float(sig_x), rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x),
+                                   atol=5e-3)
+
+    def test_engine_backend_gate(self, rng):
+        """pi_backend='auto' resolves to the XLA path (the per-step pallas
+        kernel is a measured negative on v5e — engine.py docstring);
+        forced 'xla' is byte-identical to the default."""
+        from asr_using_robust_nn_tpu.models.mlp import init_mlp
+
+        cfg = tiny_cfg()
+        p0, _ = init_mlp(cfg, jax.random.PRNGKey(0))
+        outs = []
+        for backend in ("auto", "xla"):
+            c = make_simple_norm_constraint(0.5, n_iter=8,
+                                            pi_backend=backend)
+            p1, cs = jax.jit(c.apply)(p0, c.init(p0))
+            outs.append(jax.tree.leaves(p1))
+        for a, b in zip(*outs):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        with pytest.raises(ValueError):
+            make_simple_norm_constraint(0.5, pi_backend="nope")
