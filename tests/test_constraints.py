@@ -363,3 +363,23 @@ class TestPallasPI:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         with pytest.raises(ValueError):
             make_simple_norm_constraint(0.5, pi_backend="nope")
+
+    def test_single_sweep_persistent_u_lands(self, rng):
+        """bench's lean_pi1 variant: ONE power-iteration sweep per step
+        against the persistent u must land sigma(product) <= ~rho just
+        like n_iter=32 — the landing invariant that legitimizes trading
+        iteration count (TestTrainingIntegration pins the n_iter=32 case;
+        measured on TPU: landing 0.10005 vs 0.10026 at rho=0.1)."""
+        cfg = MLPConfig(in_dim=12, n_classes=4, hidden=(16, 8),
+                        dropout=(0.0, 0.0), batch_norm=False, nonneg=True)
+        rho = 0.5
+        c = make_simple_norm_constraint(rho, n_iter=1,
+                                        matvec_dtype=jnp.bfloat16)
+        x = rng.standard_normal((128, 12)).astype(np.float32)
+        y = rng.integers(0, 4, 128).astype(np.int32)
+        p0, _ = init_mlp(cfg, jax.random.PRNGKey(0))
+        tr = Trainer(cfg, TrainConfig(batch_size=32, epochs=3, patience=100),
+                     constraint=c.apply, constraint_state=c.init(p0))
+        res = tr.fit(x[:96], y[:96], x[96:], y[96:])
+        sigma = product_norm_oracle(dense_kernels(res["params"]))
+        assert sigma <= rho * 1.05, sigma
