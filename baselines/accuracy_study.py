@@ -832,7 +832,9 @@ def main():
     ap.add_argument("--merge", action="store_true",
                     help="load an existing --out JSON and only overwrite "
                          "the tasks run this invocation (lets digit and "
-                         "speaker run with different K into one artifact)")
+                         "speaker run with different K into one artifact); "
+                         "also resumes a crashed task from its completed "
+                         "seeds when their (seed, K) match this invocation")
     ap.add_argument("--tasks", default="digit,speaker")
     ap.add_argument("--files-per-class", type=int, default=240)
     ap.add_argument("--recordings", type=int, default=24)
@@ -899,7 +901,22 @@ def main():
 
     for task in tasks:
         runs = []
-        for seed in range(args.seeds):
+        if args.merge:
+            # resume a crashed invocation: a prefix of this task's runs
+            # whose (seed index, K) match what this invocation would
+            # produce is reused verbatim instead of retrained. run_task
+            # derives everything else (corpora, splits, probes) from the
+            # seed, so seed+K identity implies run identity.
+            for r in results["tasks"].get(task, {}).get("runs", []):
+                k_prev = len(r["train_seeds"]) if r.get("train_seeds") else 1
+                if r.get("seed") == len(runs) and k_prev == args.train_seeds:
+                    runs.append(r)
+                else:
+                    break
+            if runs:
+                print(f"[{task}] resuming: reusing completed seeds "
+                      f"0..{len(runs) - 1} from {args.out}", flush=True)
+        for seed in range(len(runs), args.seeds):
             print(f"[{task} seed {seed}] running...", flush=True)
             r = run_task(task, args, seed)
             runs.append(r)
