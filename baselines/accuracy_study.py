@@ -812,9 +812,13 @@ def to_markdown(results) -> str:
                     cd = r["cross_delta_pts"]
                     ok = abs(cd) <= max(0.5, 2 * cse)
                     flag = "" if ok else " ⚠"
+                    # pre-round-4 runs (K=1) carry no reference_bok key;
+                    # best-of-1 IS the single run, so the mean reference
+                    # accuracy is the exact fallback
+                    rbok = r.get("reference_bok", r["reference"])
                     lines.append(
                         f"| {variant} | {probe} | "
-                        f"{r['reference_bok']:.4f} | "
+                        f"{rbok:.4f} | "
                         f"{r['cross']:.4f} | {cd:+.2f} ± {cse:.2f}{flag} |"
                     )
             lines.append("")
