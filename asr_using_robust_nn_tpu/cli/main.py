@@ -75,6 +75,13 @@ def _add_train(sub):
                    help="device-resident only: fuse E epochs per XLA "
                         "dispatch (amortizes the host round-trip; history/"
                         "early-stop granularity coarsens to E)")
+    p.add_argument("--epoch-backend", choices=["auto", "xla", "pallas"],
+                   default="auto",
+                   help="device-resident epoch implementation: 'pallas' = "
+                        "the fused epoch-grid kernel (weights VMEM-resident "
+                        "across every step, ~2x the XLA epoch on v5e, "
+                        "parity-gated); 'auto' picks it on TPU when the "
+                        "recipe is supported (default)")
     p.add_argument("--no-standardize", action="store_true")
     p.add_argument("--log-every", type=int, default=None)
     p.add_argument("--monitor-lipschitz", action="store_true")
@@ -323,6 +330,7 @@ _TRAIN_CONF_KEYS = {
     "seed": None, "log_every": None, "data_parallel": None,
     "device_resident": None, "monitor_lipschitz": None,
     "no_standardize": None, "epochs_per_dispatch": None, "bf16": None,
+    "epoch_backend": ("auto", "xla", "pallas"),
 }
 
 
@@ -413,7 +421,8 @@ def cmd_train(args):
                        device_resident=bool(getattr(args, "device_resident",
                                                     False)),
                        epochs_per_dispatch=(
-                           getattr(args, "epochs_per_dispatch", None) or 1))
+                           getattr(args, "epochs_per_dispatch", None) or 1),
+                       epoch_backend=getattr(args, "epoch_backend", "auto"))
     callbacks = ()
     if args.monitor_lipschitz:
         callbacks = (lipschitz_monitor(cfg),)

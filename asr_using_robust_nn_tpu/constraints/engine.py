@@ -199,6 +199,21 @@ def make_simple_norm_constraint(
             sigma = sigma * factor
         return set_dense_kernels(params, ws), {"u": u}
 
+    # machine-readable identity: Trainer.fit's "auto" epoch backend uses
+    # this to recognize the projection as the one the fused Pallas epoch
+    # kernel implements in-kernel (ops/pallas_train.py — Adam -> NonNeg ->
+    # this exact scalar recurrence), so the promotion never silently
+    # changes which constraint runs. Attached only for a CONCRETE rho:
+    # multi_run's rho-sweep re-invokes this factory on a TRACED per-run
+    # rho, where float(rho) would raise and the Trainer promotion does
+    # not apply anyway.
+    if isinstance(rho, (int, float, np.integer, np.floating)):
+        apply._asrtpu_kind = "simple_norm"
+        apply._asrtpu_meta = {
+            "rho": float(rho),
+            "affected_all": not affected_layers_indices,
+            "n_iter": int(n_iter),
+        }
     return Constraint(init=init, apply=apply)
 
 

@@ -47,6 +47,22 @@ class TrainConfig:
     adam_moments_dtype: str = "float32"  # 'bfloat16' halves the Adam-state
     # HBM traffic of every step (storage only; math stays f32) — see
     # adam_optimizer. Parity-gated; VERDICT r3 item 2.
+    epoch_backend: str = "auto"  # device-resident epoch implementation:
+    # 'xla' = train/epoch_scan.py lax.scan epoch; 'pallas' = the fused
+    # epoch-grid kernel (ops/pallas_train.py — weights/Adam moments/BN
+    # state VMEM-resident across all steps; arbitrated ~2x faster on v5e,
+    # 2.3-2.9 vs 5.2-5.4 ms/epoch, tools/ab_epoch.py 2026-08-20); 'auto'
+    # = pallas iff running on TPU, single-device, fresh optimizer state,
+    # and the constraint is the full simple_norm (or None) — i.e. exactly
+    # the configurations whose semantics the kernel implements — gated
+    # once per process by a numeric parity check against the XLA epoch
+    # (epoch_parity_vs_xla), else the XLA epoch. Dropout draws differ
+    # between backends (TPU HW PRNG vs threefry — distributionally
+    # equivalent, documented divergence), so seeded runs are reproducible
+    # per backend, not across backends.
+    pallas_interpret: bool = False  # test hook: run the pallas epoch in
+    # interpreter mode (CPU); skips the parity gate (the interpreter IS
+    # the semantics the gate checks, and it cannot run the TPU kernel)
 
 
 def _scale_by_adam_stored(b1: float, b2: float, eps: float, dtype):
@@ -141,6 +157,12 @@ def apply_update(optimizer, model_cfg, constraint, grads, params, opt_state,
     return params, opt_state, cstate
 
 
+# once-per-process parity-gate verdicts for the pallas epoch promotion,
+# keyed by (model cfg, batch, rho, pi_iters): the gate costs two 1-epoch
+# compiles, so fit() runs it at most once per configuration
+_PALLAS_EPOCH_GATE: dict = {}
+
+
 class Trainer:
     """Orchestrates jitted train/eval steps with early stopping + best-params
     retention. `constraint` is an optional in-step projection
@@ -196,6 +218,40 @@ class Trainer:
 
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
         self.eval_step = jax.jit(eval_step)
+
+    def _resolve_epoch_backend(self, mesh, fresh_opt) -> bool:
+        """Whether this device-resident fit should run the fused Pallas
+        epoch kernel (TrainConfig.epoch_backend). 'auto' requires the
+        configurations the kernel implements: single device, fresh
+        optimizer state (pack_state zeroes the Adam moments), and either
+        no constraint or the full all-layers simple_norm."""
+        cfg = self.cfg
+        if cfg.epoch_backend == "xla":
+            return False
+        if cfg.epoch_backend not in ("auto", "pallas"):
+            raise ValueError(
+                f"unknown epoch_backend {cfg.epoch_backend!r} "
+                f"(valid: auto, xla, pallas)")
+        kind = getattr(self.constraint, "_asrtpu_kind", None)
+        meta = getattr(self.constraint, "_asrtpu_meta", None) or {}
+        supported = (
+            mesh is None
+            and fresh_opt
+            and (self.constraint is None
+                 or (kind == "simple_norm" and meta.get("affected_all")))
+        )
+        if cfg.epoch_backend == "pallas":
+            if not supported:
+                raise ValueError(
+                    "epoch_backend='pallas' needs a single-device fit with "
+                    "a fresh optimizer state and either no constraint or "
+                    "the full (all-layers) simple_norm constraint — the "
+                    "configurations the fused epoch kernel implements"
+                )
+            return True
+        if cfg.pallas_interpret:
+            return supported
+        return supported and jax.default_backend() in ("tpu", "axon")
 
     def _init_train_state(self, key):
         """-> (params, state, opt_state, cstate). Subclasses that place
@@ -296,6 +352,8 @@ class Trainer:
                 "fit() needs a non-empty validation split (early stopping "
                 "and best-checkpoint retention monitor val_loss)"
             )
+        fresh_opt = opt_state is None  # pallas epoch packs zero moments,
+        # so a resumed Adam trajectory must stay on the XLA epoch
         key = jax.random.PRNGKey(cfg.seed)
         if params is None:
             key, k0 = jax.random.split(key)
@@ -372,13 +430,72 @@ class Trainer:
             d_v, _ = pad_to_multiple(vx, vb)
             l_v, _ = pad_to_multiple(vy, vb)
             d_val, l_val = put(d_v), put(l_v)
-            def make_epoch_fn(e_per_call):
-                return build_epoch_fn(
-                    self.model_cfg, self.optimizer, self.constraint,
-                    batch_size=bs, shuffle=cfg.shuffle, mesh=mesh,
-                    epochs_per_call=e_per_call,
-                    reshuffle_inner=cfg.reshuffle_each_epoch,
+
+            use_pallas = self._resolve_epoch_backend(mesh, fresh_opt)
+            if use_pallas:
+                # production fused-epoch path: the whole epoch is ONE
+                # pallas_call with weights/Adam moments/BN state VMEM-
+                # resident (ops/pallas_train.py; arbitrated ~2x over the
+                # XLA epoch). The packed fstate is the loop-carried truth;
+                # params/state/opt_state are unpacked per dispatch so val
+                # eval, checkpointing, and the result dict see the
+                # standard pytrees.
+                from ..ops.pallas_train import (
+                    FusedStepSpec, build_fused_epoch_fn, epoch_parity_vs_xla,
+                    pack_state, pad_features, unpack_opt_state,
+                    unpack_params)
+
+                meta = getattr(self.constraint, "_asrtpu_meta", None) or {}
+                spec = FusedStepSpec(
+                    cfg=self.model_cfg, batch=bs, lr=cfg.learning_rate,
+                    rho=(meta["rho"] if self.constraint is not None
+                         else None),
+                    pi_iters=(meta.get("n_iter", 4)
+                              if self.constraint is not None else 4),
+                    interpret=cfg.pallas_interpret,
                 )
+                gate_key = (self.model_cfg, bs, spec.rho, spec.pi_iters)
+                if not cfg.pallas_interpret and \
+                        gate_key not in _PALLAS_EPOCH_GATE:
+                    _PALLAS_EPOCH_GATE[gate_key] = epoch_parity_vs_xla(
+                        self.model_cfg, bs, d_train, l_train, n_true)
+                gate = _PALLAS_EPOCH_GATE.get(gate_key, {"ok": True})
+                use_pallas = bool(gate["ok"])
+                if not use_pallas and cfg.log_every:
+                    print(f"pallas epoch parity gate FAILED ({gate}); "
+                          f"falling back to the XLA epoch")
+            if use_pallas:
+                data_pal = pad_features(spec, d_train)
+                fstate_cell = {"fs": pack_state(spec, params, state)}
+                dims_last = self.model_cfg.n_classes
+
+                def make_epoch_fn(e_per_call, _spec=spec):
+                    ep = build_fused_epoch_fn(
+                        _spec, shuffle=cfg.shuffle,
+                        epochs_per_call=e_per_call,
+                        reshuffle_inner=cfg.reshuffle_each_epoch)
+
+                    def fn(params, state, opt_state, cstate, d, l, pk, dk,
+                           n_true):
+                        fs, mloss, macc = ep(fstate_cell["fs"], data_pal,
+                                             l, pk, dk, n_true=n_true)
+                        fstate_cell["fs"] = fs
+                        p2, s2 = unpack_params(_spec, fs)
+                        o2 = unpack_opt_state(_spec, fs, self.optimizer, p2)
+                        c2 = cstate
+                        if isinstance(cstate, dict) and "u" in cstate:
+                            c2 = {"u": fs["u"][0, :dims_last]}
+                        return p2, s2, o2, c2, mloss, macc
+
+                    return fn
+            else:
+                def make_epoch_fn(e_per_call):
+                    return build_epoch_fn(
+                        self.model_cfg, self.optimizer, self.constraint,
+                        batch_size=bs, shuffle=cfg.shuffle, mesh=mesh,
+                        epochs_per_call=e_per_call,
+                        reshuffle_inner=cfg.reshuffle_each_epoch,
+                    )
 
             epoch_fns = {cfg.epochs_per_dispatch: make_epoch_fn(
                 cfg.epochs_per_dispatch)}

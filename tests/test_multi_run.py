@@ -311,3 +311,91 @@ class TestMultiRunMesh:
             fit_multi_run(CFG, tcfg, x, y, xv, yv, [0, 1, 2],
                           constraint=con.apply, constraint_init=con.init,
                           mesh=mesh)
+
+
+class TestFusedMultiRun:
+    """Round-5: the Pallas epoch-grid kernel gains a runs axis via
+    lax.scan (`build_multi_run_fused_epoch_fn`) — each run's epoch is one
+    pallas_call with that run's state VMEM-resident (interpret mode
+    here; TPU timing in bench.py `multi_run_epoch_ms_by_variant`)."""
+
+    def _spec(self):
+        from asr_using_robust_nn_tpu.ops.pallas_train import FusedStepSpec
+
+        cfg = MLPConfig(in_dim=20, n_classes=4, hidden=(32, 16),
+                        nonneg=True, dropout=(0.0, 0.0))
+        return FusedStepSpec(cfg=cfg, batch=64, rho=0.5, pi_iters=8,
+                             interpret=True)
+
+    def _data(self, rng):
+        from conftest import blobs_task
+
+        x, y = blobs_task(rng, n=128, d=20, k=4)
+        return x, y
+
+    def test_each_run_matches_solo_fused_epoch(self, rng):
+        from asr_using_robust_nn_tpu.ops.pallas_train import (
+            build_fused_epoch_fn, pack_state, pad_features)
+        from asr_using_robust_nn_tpu.train.multi_run import (
+            build_multi_run_fused_epoch_fn, init_multi_run_fused_state)
+
+        spec = self._spec()
+        x, y = self._data(rng)
+        data = pad_features(spec, x)
+        lab = jnp.asarray(y)
+        seeds = [3, 9]
+        fstates, kps, kds = init_multi_run_fused_state(spec, seeds)
+        mr = build_multi_run_fused_epoch_fn(spec, epochs_per_call=2,
+                                            reshuffle_inner=False)
+        fs2, losses, accs = mr(fstates, data, lab, kps, kds, None,
+                               n_true=128)
+
+        ep = build_fused_epoch_fn(spec, epochs_per_call=2,
+                                  reshuffle_inner=False)
+        for r, s in enumerate(seeds):
+            key = jax.random.PRNGKey(s)
+            key, k0 = jax.random.split(key)
+            params, state = init_mlp(spec.cfg, k0)
+            kp, kd = jax.random.split(jax.random.fold_in(key, 977))
+            fs_solo, loss_s, acc_s = ep(pack_state(spec, params, state),
+                                        data, lab, kp, kd, n_true=128)
+            np.testing.assert_allclose(float(losses[r]), float(loss_s),
+                                       rtol=0, atol=1e-5)
+            np.testing.assert_allclose(float(accs[r]), float(acc_s),
+                                       rtol=0, atol=1e-6)
+            for a, b in zip(jax.tree.leaves(
+                    jax.tree.map(lambda t, _r=r: t[_r], fs2)),
+                    jax.tree.leaves(fs_solo)):
+                np.testing.assert_allclose(np.asarray(a, np.float32),
+                                           np.asarray(b, np.float32),
+                                           rtol=0, atol=1e-5)
+
+    def test_active_mask_freezes_exactly(self, rng):
+        from asr_using_robust_nn_tpu.train.multi_run import (
+            build_multi_run_fused_epoch_fn, init_multi_run_fused_state)
+        from asr_using_robust_nn_tpu.ops.pallas_train import pad_features
+
+        spec = self._spec()
+        x, y = self._data(rng)
+        data = pad_features(spec, x)
+        lab = jnp.asarray(y)
+        fstates, kps, kds = init_multi_run_fused_state(spec, [3, 9])
+        # snapshot BEFORE the call: mr donates fstates
+        frozen_before = jax.tree.map(
+            lambda t: np.asarray(t[1], np.float32), fstates)
+        active_before = jax.tree.map(
+            lambda t: np.asarray(t[0], np.float32), fstates)
+        mr = build_multi_run_fused_epoch_fn(spec, epochs_per_call=1,
+                                            reshuffle_inner=False)
+        act = jnp.asarray(np.array([True, False]))
+        fs2, _, _ = mr(fstates, data, lab, kps, kds, act, n_true=128)
+        # run 1 frozen bit-exactly; run 0 actually moved
+        for a, b in zip(jax.tree.leaves(jax.tree.map(
+                lambda t: np.asarray(t[1], np.float32), fs2)),
+                jax.tree.leaves(frozen_before)):
+            np.testing.assert_array_equal(a, b)
+        moved = any(
+            not np.array_equal(np.asarray(a[0], np.float32), b)
+            for a, b in zip(jax.tree.leaves(fs2)[:4],
+                            jax.tree.leaves(active_before)[:4]))
+        assert moved

@@ -243,3 +243,124 @@ class TestEpochGridKernel:
                                n_true=100)
         assert int(fs["count"][0]) == 6  # 2 batches x 3 epochs
         assert np.isfinite(float(loss))
+
+
+class TestUnpackOptState:
+    def test_structure_and_values(self, rng):
+        """unpack_opt_state returns adam_optimizer's exact pytree structure
+        with the kernel's moments/count, so fused-epoch checkpoints resume
+        the Adam trajectory (round-5 pallas-epoch promotion)."""
+        from asr_using_robust_nn_tpu.ops.pallas_train import unpack_opt_state
+
+        x, y = blobs_task(rng, n=128, d=20, k=4)
+        spec = small_spec()
+        tr, con, params, state = xla_trainer(spec)
+        ep = build_fused_epoch_fn(spec, epochs_per_call=2)
+        fs = pack_state(spec, params, state)
+        fs, _, _ = ep(fs, pad_features(spec, x), jnp.asarray(y),
+                      jax.random.PRNGKey(1), jax.random.PRNGKey(2),
+                      n_true=128)
+        p2, s2 = unpack_params(spec, fs)
+        o2 = unpack_opt_state(spec, fs, tr.optimizer, p2)
+        template = tr.optimizer.init(p2)
+        assert jax.tree.structure(o2) == jax.tree.structure(template)
+        for a, b in zip(jax.tree.leaves(o2), jax.tree.leaves(template)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+        # count: 2 batches x 2 epochs; moments non-zero after real steps
+        flat = jax.tree.leaves(o2)
+        counts = [a for a in flat if a.ndim == 0]
+        assert any(int(c) == 4 for c in counts)
+        mu_w = o2[0].mu["layers"][0]["w"] if hasattr(o2[0], "mu") else None
+        assert mu_w is not None and float(jnp.abs(mu_w).max()) > 0
+
+    def test_resume_continues_trajectory(self, rng):
+        """A fused-epoch run checkpointed via unpack_* then resumed on the
+        XLA trainer continues without an optimizer restart artifact: the
+        resumed step must match an XLA step taken from the same
+        (params, opt_state) point."""
+        from asr_using_robust_nn_tpu.ops.pallas_train import unpack_opt_state
+
+        x, y = blobs_task(rng, n=128, d=20, k=4)
+        spec = small_spec()
+        tr, con, params, state = xla_trainer(spec)
+        ep = build_fused_epoch_fn(spec, epochs_per_call=4)
+        fs = pack_state(spec, params, state)
+        fs, _, _ = ep(fs, pad_features(spec, x), jnp.asarray(y),
+                      jax.random.PRNGKey(1), jax.random.PRNGKey(2),
+                      n_true=128)
+        p2, s2 = unpack_params(spec, fs)
+        o2 = unpack_opt_state(spec, fs, tr.optimizer, p2)
+        cs = {"u": fs["u"][0, :spec.dims[-1]]}
+        # one XLA step from the unpacked point: count must advance from 8
+        p3, s3, o3, _, loss, _ = tr.train_step(
+            p2, s2, o2, cs, jnp.asarray(x[:64]), jnp.asarray(y[:64]),
+            jax.random.PRNGKey(3))
+        counts = [a for a in jax.tree.leaves(o3) if a.ndim == 0]
+        assert any(int(c) == 9 for c in counts)
+        assert np.isfinite(float(loss))
+
+
+class TestTrainerPallasBackend:
+    """Round-5 promotion: TrainConfig.epoch_backend routes the device-
+    resident fit through the fused epoch-grid kernel."""
+
+    def _fit(self, rng, backend, seed=0, epochs=14):
+        x, y = blobs_task(rng, n=128, d=20, k=4)
+        vx, vy = x[:64], y[:64]
+        cfg = MLPConfig(in_dim=20, n_classes=4, hidden=(32, 16),
+                        nonneg=True, dropout=(0.0, 0.0))
+        con = make_simple_norm_constraint(0.5, n_iter=8)
+        params, _ = init_mlp(cfg, jax.random.PRNGKey(0))
+        tr = Trainer(cfg, TrainConfig(
+            batch_size=64, epochs=epochs, patience=epochs, seed=seed,
+            device_resident=True, epoch_backend=backend,
+            pallas_interpret=(backend == "pallas")),
+            constraint=con.apply, constraint_state=con.init(params))
+        return tr, tr.fit(x, y, vx, vy)
+
+    def test_pallas_fit_trains_and_matches_xla_class(self, rng):
+        tr_p, rp = self._fit(rng, "pallas")
+        rng2 = np.random.default_rng(0)
+        tr_x, rx = self._fit(rng2, "xla")
+        assert len(rp["history"]["loss"]) == len(rx["history"]["loss"])
+        # same recipe, same data, bf16-class kernel: trajectories track
+        # (probed 2026-08-20: 0.703 vs 0.719 at 12 epochs; the nonneg+
+        # constrained recipe converges slowly on blobs, so this checks
+        # backend agreement, not task mastery)
+        assert rp["history"]["val_acc"][-1] > 0.4
+        assert abs(rp["history"]["val_acc"][-1]
+                   - rx["history"]["val_acc"][-1]) < 0.15
+        # constraint landed: product spectral norm <= rho-ish on both
+        sig_p = product_norm_oracle(
+            [np.asarray(w) for w in dense_kernels(rp["best_params"])])
+        assert sig_p < 0.5 * 1.5
+        # opt_state in the result has the optimizer's structure (resume)
+        template = tr_p.optimizer.init(rp["params"])
+        assert jax.tree.structure(rp["opt_state"]) == \
+            jax.tree.structure(template)
+
+    def test_auto_stays_xla_on_cpu(self, rng):
+        cfg = MLPConfig(in_dim=20, n_classes=4, hidden=(32, 16),
+                        dropout=(0.0, 0.0))
+        tr = Trainer(cfg, TrainConfig(batch_size=64, device_resident=True,
+                                      epoch_backend="auto"))
+        assert tr._resolve_epoch_backend(mesh=None, fresh_opt=True) is False
+
+    def test_pallas_refuses_unsupported(self, rng):
+        from asr_using_robust_nn_tpu.constraints import make_norm_constraint
+
+        cfg = MLPConfig(in_dim=20, n_classes=4, hidden=(32, 16),
+                        dropout=(0.0, 0.0))
+        con = make_norm_constraint(0.5)  # not the kernel's projection
+        tr = Trainer(cfg, TrainConfig(batch_size=64, device_resident=True,
+                                      epoch_backend="pallas"),
+                     constraint=con.apply)
+        with pytest.raises(ValueError, match="simple_norm"):
+            tr._resolve_epoch_backend(mesh=None, fresh_opt=True)
+        # resumed Adam trajectory cannot pack into zeroed moments
+        con2 = make_simple_norm_constraint(0.5)
+        tr2 = Trainer(cfg, TrainConfig(batch_size=64, device_resident=True,
+                                       epoch_backend="pallas"),
+                      constraint=con2.apply)
+        with pytest.raises(ValueError, match="fresh"):
+            tr2._resolve_epoch_backend(mesh=None, fresh_opt=False)
