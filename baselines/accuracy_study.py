@@ -724,9 +724,14 @@ def to_markdown(results) -> str:
         "exact recipe on CPU; framework = this library on the default "
         "backend. Seed-averaged; delta = framework - reference in accuracy "
         "points, with the standard error of the paired per-seed deltas. "
-        "Acceptance: |delta| <= 0.5 pts, or within ~2 standard errors of 0 "
-        "(each test-set sample is worth 100/n_test pts, so small studies "
-        "have a hard granularity floor).",
+        "Acceptance is a two-estimator OR rule: a cell passes if EITHER "
+        "the mean-of-K delta OR the best-of-K delta satisfies "
+        "|delta| <= max(0.5 pts, 2 standard errors) — each estimator "
+        "answers a different question (average restart vs the val-selected "
+        "restart a practitioner would ship), and each test-set sample is "
+        "worth 100/n_test pts, so small studies have a hard granularity "
+        "floor. A ⚠ marks the specific estimator column that fails its "
+        "own test; a cell is flagged in the takeaway only when BOTH fail.",
         "",
         f"Speech Commands v0.02 fetch attempt: "
         f"{results['speech_commands_fetch']}",
@@ -743,6 +748,15 @@ def to_markdown(results) -> str:
         # column — say so rather than printing a "± 0.00" non-column
         fused = "train_seeds" in t["runs"][0]
         k = len(t["runs"][0].get("train_seeds", [0]))
+        # a hand-merged artifact mixing K across runs would silently
+        # mislabel K / drop the best-of-K column (ADVICE r4) — refuse it
+        for r in t["runs"]:
+            if ("train_seeds" in r) != fused or \
+                    len(r.get("train_seeds", [0])) != k:
+                raise ValueError(
+                    f"{task}: runs disagree on train_seeds (expected "
+                    f"fused={fused}, K={k}); regenerate or re-merge with "
+                    f"matching K")
         if fused:
             lines.append(f"Training seeds per corpus seed K={k}; framework "
                          f"arm trained on the fused multi-run engine "
@@ -770,18 +784,21 @@ def to_markdown(results) -> str:
                 if probe == "basin":
                     continue
                 se = r.get("delta_stderr_pts", 0.0)
-                ok = abs(r["delta_pts"]) <= max(0.5, 2 * se)
+                ok_mean = abs(r["delta_pts"]) <= max(0.5, 2 * se)
                 bse = r.get("bok_delta_stderr_pts", 0.0)
                 bok = r.get("bok_delta_pts", r["delta_pts"])
-                ok = ok or abs(bok) <= max(0.5, 2 * bse)
-                flag = "" if ok else " ⚠"
+                ok_bok = abs(bok) <= max(0.5, 2 * bse)
+                # per-estimator flags (ADVICE r4): each column marks ITS
+                # OWN test; the takeaway flags a cell only when both fail
+                mflag = "" if ok_mean else " ⚠"
+                bflag = "" if ok_bok else " ⚠"
                 row = (f"| {variant} | {probe} | {r['reference']:.4f} | "
                        f"{r['framework']:.4f} | {r['delta_pts']:+.2f} "
-                       f"± {se:.2f}")
+                       f"± {se:.2f}{mflag}")
                 if fused:
-                    row += f" | {bok:+.2f} ± {bse:.2f}{flag} |"
+                    row += f" | {bok:+.2f} ± {bse:.2f}{bflag} |"
                 else:
-                    row += f"{flag} |"
+                    row += " |"
                 lines.append(row)
         lines.append("")
         for variant, rows in t["summary"].items():
@@ -845,6 +862,8 @@ def to_markdown(results) -> str:
     trained_total = trained_ok = 0
     flagged = []
     cross_max, cross_cells, cross_zero = 0.0, 0, 0
+    cross_max_ok = 0.0
+    cross_flagged = []
     basins = []
     for task, t in results["tasks"].items():
         for variant, rows in t["summary"].items():
@@ -865,18 +884,46 @@ def to_markdown(results) -> str:
                                    f"{r['delta_pts']:+.2f}")
                 if "cross_delta_pts" in r:
                     cross_cells += 1
-                    cross_max = max(cross_max, abs(r["cross_delta_pts"]))
-                    cross_zero += int(r["cross_delta_pts"] == 0.0)
+                    cd = r["cross_delta_pts"]
+                    cse = r.get("cross_delta_stderr_pts", 0.0)
+                    cross_max = max(cross_max, abs(cd))
+                    # "bit-identical" requires EVERY per-seed delta zero
+                    # (mean 0.00 can hide offsetting flips — ADVICE r4):
+                    # mean AND stderr both exactly zero
+                    cross_zero += int(cd == 0.0 and cse == 0.0)
+                    if abs(cd) > max(0.5, 2 * cse):
+                        cross_flagged.append(
+                            f"{task} {variant} {probe} {cd:+.2f}±{cse:.2f}")
+                    else:
+                        cross_max_ok = max(cross_max_ok, abs(cd))
     lines.append("## Takeaway")
     lines.append("")
-    takeaway = (
-        f"At identical weights the framework's forward/eval/attack stack "
-        f"matches the Keras/ART-recipe stack to ≤{cross_max:.2f} pts on "
-        f"every cross-probe cell ({cross_zero}/{cross_cells} cells are "
-        f"bit-identical argmax decisions: +0.00) — that is the "
-        f"implementation-parity claim, with training variance excluded. "
-        f"The trained-model comparison meets the |Δ|≤0.5-pt-or-2-stderr "
-        f"acceptance on {trained_ok}/{trained_total} cells."
+    if cross_cells:
+        takeaway = (
+            f"At identical weights the framework's forward/eval/attack "
+            f"stack matches the Keras/ART-recipe stack to ≤{cross_max:.2f} "
+            f"pts on every cross-probe cell ({cross_zero}/{cross_cells} "
+            f"cells are bit-identical argmax decisions on every seed: "
+            f"delta and stderr both exactly 0.00) — that is the "
+            f"implementation-parity claim, with training variance excluded."
+        )
+        if cross_flagged:
+            takeaway = (
+                f"The same-weights cross-probe is OUTSIDE the "
+                f"|Δ|≤max(0.5, 2·stderr) band on "
+                f"{len(cross_flagged)}/{cross_cells} cells "
+                f"({'; '.join(cross_flagged)}) — an eval/attack-stack "
+                f"divergence at identical weights, which training variance "
+                f"cannot explain; the remaining cells match to "
+                f"≤{cross_max_ok:.2f} pts."
+            )
+        takeaway += " "
+    else:
+        takeaway = ""
+    takeaway += (
+        f"The trained-model comparison meets the two-estimator "
+        f"(mean-of-K OR best-of-K) |Δ|≤max(0.5 pts, 2·stderr) acceptance "
+        f"on {trained_ok}/{trained_total} cells."
     )
     if flagged:
         takeaway += (
@@ -909,6 +956,10 @@ def main():
                          "speaker run with different K into one artifact); "
                          "also resumes a crashed task from its completed "
                          "seeds when their (seed, K) match this invocation")
+    ap.add_argument("--md-only", action="store_true",
+                    help="skip all training: load the existing --out JSON, "
+                         "recompute summaries, rewrite --md (use after a "
+                         "reporting-code change)")
     ap.add_argument("--tasks", default="digit,speaker")
     ap.add_argument("--files-per-class", type=int, default=240)
     ap.add_argument("--recordings", type=int, default=24)
@@ -949,6 +1000,17 @@ def main():
         "speech_commands_fetch": try_fetch_speech_commands(),
         "tasks": {},
     }
+    if args.md_only:
+        # stored summaries are used as-is: pre-round-4 runs (speaker K=1)
+        # predate the list-of-K run format summarize() expects, and every
+        # reporting-rule change lives in to_markdown anyway
+        with open(args.out) as f:
+            prev = json.load(f)
+        md = to_markdown(prev)
+        with open(args.md, "w") as f:
+            f.write(md)
+        print(md)
+        return
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
             prev = json.load(f)

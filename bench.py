@@ -11,7 +11,12 @@ Pipeline measured (per BASELINE.json north star "MFCC+train utterances/sec/
 chip"): fused MFCC featurization + one training epoch (Adam+CCE+BN+dropout +
 simple_norm Lipschitz projection, the constrained digit recipe) + FGSM
 adversarial eval, on synthetic 1-s utterances, per-utterance wall time
-summed across stages. Each stage is timed with a dependency-chained
+summed across stages. Beyond the composite, the record also carries one
+representative throughput per remaining attack family (PGD/JSMA/C&W-L2 at
+the reference's ART budgets), warm serving p50/p95 per padding bucket for
+f32 AND int16 ingress (serve/engine.py), and — before the pallas arm may
+take the fused-epoch winner key — an in-run numeric parity gate against
+the XLA epoch (ops/pallas_train.py::epoch_parity_vs_xla). Each stage is timed with a dependency-chained
 lax.fori_loop so the runtime cannot cache or overlap identical calls
 (the axon tunnel memoizes repeated pure executions — see
 .claude/skills/verify/SKILL.md), using paired-length differencing
@@ -405,11 +410,12 @@ def measure_tpu(quick: bool = False) -> dict:
     # across fwd+bwd+Adam+projection, grads never in HBM — the round-4
     # answer to the step's HBM roofline (VERDICT r3 item 2).
     pallas_epoch_error = None
+    pallas_epoch_parity = None
     try:
         if jax.default_backend() in ("tpu", "axon"):
             from asr_using_robust_nn_tpu.ops.pallas_train import (
-                FusedStepSpec, build_fused_epoch_fn, pack_state,
-                pad_features)
+                FusedStepSpec, build_fused_epoch_fn, epoch_parity_vs_xla,
+                pack_state, pad_features)
 
             spec = FusedStepSpec(cfg=mcfg, batch=bs, rho=0.1, pi_iters=4)
             ep_pl = build_fused_epoch_fn(spec,
@@ -430,9 +436,19 @@ def measure_tpu(quick: bool = False) -> dict:
             t_call, _ = _paired_time(fetch_pl, lambda i: fresh_fs(50 + i),
                                      1, rtt)
             t_epoch_v["pallas"] = t_call / n_epochs_chain
+            # in-run numeric gate (VERDICT r4 weak-item 1): the pallas arm
+            # may only take the winner key if its one-epoch dropout-0
+            # output matches the XLA epoch at bf16-class tolerances — a
+            # silently-wrong fast kernel must never take the headline
+            pallas_epoch_parity = epoch_parity_vs_xla(mcfg, bs, data, lab,
+                                                      n_true)
     except Exception as e:  # record, never sink the whole bench
         pallas_epoch_error = f"{type(e).__name__}: {e}"[:300]
-    epoch_variant = min(t_epoch_v, key=t_epoch_v.get)
+    epoch_eligible = {
+        k: v for k, v in t_epoch_v.items()
+        if k != "pallas" or (pallas_epoch_parity or {}).get("ok")
+    }
+    epoch_variant = min(epoch_eligible, key=epoch_eligible.get)
     t_epoch = t_epoch_v[epoch_variant]
 
     # Stage 2c: fused MULTI-RUN epoch (train/multi_run.py) — R independent
@@ -479,12 +495,49 @@ def measure_tpu(quick: bool = False) -> dict:
         return t_per_call / n_epochs_chain  # seconds per R-run epoch
 
     t_mr_v = {}
-    for name in ("f32", "bf16", "lean"):
+    for name in ("f32", "bf16", "lean", "lean_pi1"):
         cfg_v, tcfg_v, con_v = variants[name]
         opt_v = adam_optimizer(tcfg_v.learning_rate,
                                tcfg_v.adam_moments_dtype)
         t_mr_v[name] = measure_multi_epoch(cfg_v, opt_v, con_v)
-    mr_variant = min(t_mr_v, key=t_mr_v.get)
+
+    # Pallas multi-run: lax.scan over runs of the epoch-grid kernel — each
+    # run keeps the single-run kernel's VMEM residency, so aggregate time
+    # tracks R x the single pallas epoch instead of R x the (weight-
+    # traffic-multiplied) vmapped XLA epoch (VERDICT r4 weak-item 2). Same
+    # winner-eligibility gate as the single-run pallas arm: the kernel's
+    # numeric parity verdict.
+    mr_pallas_error = None
+    try:
+        if "pallas" in t_epoch_v:
+            from asr_using_robust_nn_tpu.train.multi_run import (
+                build_multi_run_fused_epoch_fn, init_multi_run_fused_state)
+
+            mr_pl = build_multi_run_fused_epoch_fn(
+                spec, epochs_per_call=n_epochs_chain, reshuffle_inner=False)
+
+            def fresh_mr(seed):
+                return init_multi_run_fused_state(
+                    spec, list(range(seed, seed + n_runs)))
+
+            def fetch_mr(st, n_calls):
+                fs, kps, kds = st
+                out = mr_pl(fs, data_p, lab, kps, kds, None, n_true=n_true)
+                for _ in range(n_calls - 1):
+                    out = mr_pl(out[0], data_p, lab, kps, kds, None,
+                                n_true=n_true)
+                return float(np.asarray(out[1])[0])
+
+            t_call, _ = _paired_time(
+                fetch_mr, lambda i: fresh_mr(500 + i * n_runs), 1, rtt)
+            t_mr_v["pallas"] = t_call / n_epochs_chain
+    except Exception as e:  # record, never sink the whole bench
+        mr_pallas_error = f"{type(e).__name__}: {e}"[:300]
+    mr_eligible = {
+        k: v for k, v in t_mr_v.items()
+        if k != "pallas" or (pallas_epoch_parity or {}).get("ok")
+    }
+    mr_variant = min(mr_eligible, key=mr_eligible.get)
     t_mr = t_mr_v[mr_variant]
 
     # Stage 3: FGSM adversarial eval (generate adversarial batch + predict).
@@ -497,6 +550,60 @@ def measure_tpu(quick: bool = False) -> dict:
 
     t_fgsm = _time_chain(fgsm_eval, x, n_iter_fgsm, rtt)
     fgsm_utts_per_s = bs / t_fgsm
+
+    # Stage 3b: the REST of the attack matrix, one representative config
+    # per family at the reference's ART-default budgets (VERDICT r4 item 8;
+    # `Voice digit recogniton/attacks.py:493-693`): PGD eps=0.1 /
+    # eps_step=0.1 / 100 iters, JSMA theta=10 / gamma=0.1 random targets,
+    # C&W-L2 10 binary-search steps x 10 iters with the ART line search.
+    from asr_using_robust_nn_tpu.attacks.whitebox import (carlini_l2, jsma,
+                                                          pgd)
+
+    kj = jax.random.PRNGKey(9)
+    t_pgd = _time_chain(lambda xx: pgd(logits_fn, xx, y, 0.1), x, 2, rtt)
+    t_jsma = _time_chain(lambda xx: jsma(logits_fn, xx, key=kj), x, 1, rtt)
+    t_cw = _time_chain(lambda xx: carlini_l2(logits_fn, xx, y), x, 1, rtt)
+    attack_utts_per_s = {
+        "pgd": bs / t_pgd,
+        "jsma": bs / t_jsma,
+        "cw_l2": bs / t_cw,
+    }
+
+    # Stage 4: serving path (serve/engine.py) — warm p50/p95 per padding
+    # bucket for f32 AND int16 ingress (VERDICT r4 item 5: the int16 win
+    # was implemented + bit-equality-tested in round 4 but never measured).
+    # classify() wall time INCLUDES host packing + host->device transfer —
+    # on this tunnel the transfer dominates small buckets, which is exactly
+    # what the int16 ingress halves. Fresh random audio per request: the
+    # axon runtime memoizes repeated pure executions on identical buffers.
+    from asr_using_robust_nn_tpu.serve.engine import InferenceEngine
+
+    serve_buckets = (16,) if quick else (16, 64)
+    n_serve = 8 if quick else 14
+    eng = InferenceEngine(mcfg, cfg, params2, state2, scaler=None,
+                          buckets=serve_buckets)
+    eng.warmup()
+    serving = {}
+    for b in serve_buckets:
+        for dt in ("float32", "int16"):
+            lat = []
+            for i in range(n_serve):
+                if dt == "int16":
+                    w = rng.integers(-3000, 3000, (b, 22050),
+                                     dtype=np.int16)
+                else:
+                    w = (rng.standard_normal((b, 22050)) * 0.1).astype(
+                        np.float32)
+                lat.append(eng.classify(w)["latency_s"])
+            a = np.asarray(lat)
+            serving[f"b{b}_{dt}"] = {
+                "p50_ms": float(np.percentile(a, 50) * 1e3),
+                "p95_ms": float(np.percentile(a, 95) * 1e3),
+                "n": n_serve,
+            }
+    big = serve_buckets[-1]
+    serving["requests_per_s"] = 1e3 / serving[f"b{big}_int16"]["p50_ms"]
+    serving["utts_per_s"] = big * serving["requests_per_s"]
 
     # Composite: one utterance featurized + trained on (1 epoch ~ 1 visit) +
     # FGSM-evaluated.
@@ -571,6 +678,7 @@ def measure_tpu(quick: bool = False) -> dict:
         "fused_epoch_ms_by_variant": {k: v * 1e3
                                       for k, v in t_epoch_v.items()},
         "fused_epoch_pallas_error": pallas_epoch_error,
+        "fused_epoch_pallas_parity": pallas_epoch_parity,
         "fused_epoch_rows": n_true,
         "multi_run_epoch_ms": t_mr * 1e3,
         "multi_run_epoch_ms_per_run": t_mr * 1e3 / n_runs,
@@ -578,8 +686,11 @@ def measure_tpu(quick: bool = False) -> dict:
         "multi_run_precision": mr_variant,
         "multi_run_epoch_ms_by_variant": {k: v * 1e3
                                           for k, v in t_mr_v.items()},
+        "multi_run_pallas_error": mr_pallas_error,
         "multi_run_scaling_vs_single": (t_epoch * n_runs) / t_mr,
         "fgsm_utts_per_s": fgsm_utts_per_s,
+        "attack_utts_per_s": attack_utts_per_s,
+        "serving": serving,
         "pipeline_utts_per_s": 1.0 / per_utt,
         "flops_per_s": {
             "frontend_digit": fe_flops,
@@ -726,7 +837,19 @@ def main(quick: bool = False) -> int:
                                              stats["fused_epoch_precision"]),
             "multi_run_epoch_ms_per_run": round(
                 stats["multi_run_epoch_ms_per_run"], 4),
+            "multi_run_variant": stats["multi_run_precision"],
+            "multi_run_scaling_vs_single": round(
+                stats["multi_run_scaling_vs_single"], 3),
             "fgsm_utts_per_s": round(stats["fgsm_utts_per_s"], 1),
+            "attack_utts_per_s": {k: round(v, 1) for k, v in
+                                  stats["attack_utts_per_s"].items()},
+            "serve_p50_ms": {k: round(v["p50_ms"], 1) for k, v in
+                             stats["serving"].items()
+                             if isinstance(v, dict)},
+            "serve_utts_per_s": round(stats["serving"]["utts_per_s"], 1),
+            "fused_epoch_pallas_parity_ok": (
+                None if stats["fused_epoch_pallas_parity"] is None
+                else stats["fused_epoch_pallas_parity"]["ok"]),
             "mfu_vs_peak": {k: round(v, 4) for k, v in mfu.items()
                             if isinstance(v, float) and v < 1e6},
             "device_kind": mfu.get("device_kind"),
