@@ -275,6 +275,7 @@ def fit_multi_run(
     constraint_factory=None,
     rhos=None,
     mesh=None,
+    epoch_backend: str = "xla",
 ) -> dict:
     """Train len(seeds) runs to early stopping as one fused program; the
     multi-run analog of `Trainer.fit(device_resident=True)` with identical
@@ -288,6 +289,14 @@ def fit_multi_run(
     strength sweep — seeds and rhos pair elementwise, so a full grid is
     seeds/rhos vectors of the same length R (e.g. 3 seeds x 4 rhos ->
     R = 12).
+
+    `epoch_backend="pallas"` trains each chunk through the fused Pallas
+    epoch-grid kernel scanned over runs (`build_multi_run_fused_epoch_fn`
+    — each run keeps single-run VMEM residency, ~2x the XLA epoch per run
+    on v5e): single-device, fixed full simple_norm (or unconstrained)
+    only. The default stays "xla" because dropout draws differ between
+    backends (TPU HW PRNG vs threefry) — a seed study must not switch
+    engines between merged invocations.
 
     Returns a dict of STACKED results: best_params/best_state/
     best_opt_state (numpy, runs axis leading — opt state retained so saved
@@ -316,6 +325,27 @@ def fit_multi_run(
             f"TrainConfig.epochs_per_dispatch must be >= 1, got "
             f"{cfg.epochs_per_dispatch}"
         )
+    if epoch_backend not in ("xla", "pallas"):
+        raise ValueError(
+            f"unknown epoch_backend {epoch_backend!r} (valid: xla, pallas)")
+    use_pallas = epoch_backend == "pallas"
+    if use_pallas:
+        # the fused epoch-grid kernel implements Adam -> NonNeg -> full
+        # simple_norm with a FIXED rho; rho sweeps and meshes stay XLA.
+        # Default is "xla" deliberately: dropout draws differ between
+        # backends (HW PRNG vs threefry), so a seed study must not switch
+        # engines between merged invocations.
+        kind = getattr(constraint, "_asrtpu_kind", None)
+        meta = getattr(constraint, "_asrtpu_meta", None) or {}
+        if (mesh is not None or constraint_factory is not None
+                or (constraint is not None
+                    and not (kind == "simple_norm"
+                             and meta.get("affected_all")))):
+            raise ValueError(
+                "epoch_backend='pallas' supports single-device runs with "
+                "either no constraint or the full (all-layers) simple_norm "
+                "at a fixed rho — the configurations the fused epoch "
+                "kernel implements (pass epoch_backend='xla' otherwise)")
     seeds = np.asarray(seeds)
     n_runs = len(seeds)
     if mesh is not None and n_runs % mesh.devices.size:
@@ -353,17 +383,43 @@ def fit_multi_run(
     d_train, l_train = put(d_tr), put(l_tr)
     d_val, l_val = put(d_v), put(l_v)
 
-    params, state, opt_state, cstate, key_perm, key_drop = (
-        init_multi_run_state(model_cfg, optimizer := _make_optimizer(cfg),
-                             seeds, constraint_init, mesh=mesh))
+    optimizer = _make_optimizer(cfg)
+    fstates = spec = unpack_all = None
+    if use_pallas:
+        from ..ops.pallas_train import (FusedStepSpec, pad_features,
+                                        unpack_params)
 
-    def make_epoch_fn(e_per_call):
-        return build_multi_run_epoch_fn(
-            model_cfg, optimizer, constraint,
-            constraint_factory=constraint_factory, batch_size=bs,
-            shuffle=cfg.shuffle, epochs_per_call=e_per_call,
-            reshuffle_inner=cfg.reshuffle_each_epoch, mesh=mesh,
+        meta = getattr(constraint, "_asrtpu_meta", None) or {}
+        spec = FusedStepSpec(
+            cfg=model_cfg, batch=bs, lr=cfg.learning_rate,
+            rho=(meta["rho"] if constraint is not None else None),
+            pi_iters=(meta.get("n_iter", 4) if constraint is not None
+                      else 4),
+            interpret=getattr(cfg, "pallas_interpret", False),
         )
+        fstates, key_perm, key_drop = init_multi_run_fused_state(spec,
+                                                                 seeds)
+        params = state = opt_state = cstate = None
+        data_pal = pad_features(spec, d_train)
+        unpack_all = jax.jit(jax.vmap(
+            lambda fs: unpack_params(spec, fs)))
+
+        def make_epoch_fn(e_per_call):
+            return build_multi_run_fused_epoch_fn(
+                spec, shuffle=cfg.shuffle, epochs_per_call=e_per_call,
+                reshuffle_inner=cfg.reshuffle_each_epoch)
+    else:
+        params, state, opt_state, cstate, key_perm, key_drop = (
+            init_multi_run_state(model_cfg, optimizer, seeds,
+                                 constraint_init, mesh=mesh))
+
+        def make_epoch_fn(e_per_call):
+            return build_multi_run_epoch_fn(
+                model_cfg, optimizer, constraint,
+                constraint_factory=constraint_factory, batch_size=bs,
+                shuffle=cfg.shuffle, epochs_per_call=e_per_call,
+                reshuffle_inner=cfg.reshuffle_each_epoch, mesh=mesh,
+            )
 
     epoch_fns = {cfg.epochs_per_dispatch: make_epoch_fn(
         cfg.epochs_per_dispatch)}
@@ -390,11 +446,17 @@ def fit_multi_run(
         pk = fold_runs(key_perm, epoch if cfg.reshuffle_each_epoch else 0)
         dk = fold_runs(key_drop, epoch)
         active = jnp.asarray(active_np)
-        params, state, opt_state, cstate, mloss, macc = epoch_fns[
-            this_stride
-        ](params, state, opt_state, cstate, d_train, l_train, pk, dk,
-          active, rhos_arr, n_true)
-        vl, va = eval_fn(params, state, d_val, l_val, len(vx))
+        if use_pallas:
+            fstates, mloss, macc = epoch_fns[this_stride](
+                fstates, data_pal, l_train, pk, dk, active, n_true=n_true)
+            params_u, state_u = unpack_all(fstates)
+            vl, va = eval_fn(params_u, state_u, d_val, l_val, len(vx))
+        else:
+            params, state, opt_state, cstate, mloss, macc = epoch_fns[
+                this_stride
+            ](params, state, opt_state, cstate, d_train, l_train, pk, dk,
+              active, rhos_arr, n_true)
+            vl, va = eval_fn(params, state, d_val, l_val, len(vx))
         vl_np = np.asarray(vl, np.float64)
         history["loss"].append(np.asarray(mloss))
         history["acc"].append(np.asarray(macc))
@@ -404,7 +466,10 @@ def fit_multi_run(
 
         improved = (vl_np < best_val) & active_np
         better = jnp.asarray(improved)
-        cur = (params, state, opt_state)
+        # pallas: the packed fstate IS the snapshot (masters eagerly
+        # rescaled, moments paired) — params/state/opt_state unpack at
+        # the end only
+        cur = fstates if use_pallas else (params, state, opt_state)
         if best is None:
             best = jax.tree.map(jnp.copy, cur)
         else:
@@ -417,8 +482,29 @@ def fit_multi_run(
                                                      0))
 
     if best is None:  # epochs == 0
-        best = (params, state, opt_state)
-    best_params, best_state, best_opt = jax.tree.map(np.asarray, best)
+        best = fstates if use_pallas else (params, state, opt_state)
+    if use_pallas:
+        from ..ops.pallas_train import unpack_opt_state, unpack_params
+
+        def materialize(fs_stacked):
+            ps, ss, os_ = [], [], []
+            for r in range(n_runs):
+                fs_r = jax.tree.map(lambda t, _r=r: t[_r], fs_stacked)
+                p_r, s_r = unpack_params(spec, fs_r)
+                os_.append(jax.tree.map(np.asarray, unpack_opt_state(
+                    spec, fs_r, optimizer, p_r)))
+                ps.append(jax.tree.map(np.asarray, p_r))
+                ss.append(jax.tree.map(np.asarray, s_r))
+            stack = lambda trees: jax.tree.map(  # noqa: E731
+                lambda *xs: np.stack(xs), *trees)
+            return stack(ps), stack(ss), stack(os_)
+
+        params, state, opt_state = materialize(fstates)
+        best_params, best_state, best_opt = materialize(best)
+        cstate = ({"u": np.asarray(fstates["u"])[:, 0, :model_cfg.n_classes]}
+                  if constraint is not None else ())
+    else:
+        best_params, best_state, best_opt = jax.tree.map(np.asarray, best)
     return {
         "params": params,
         "state": state,

@@ -399,3 +399,58 @@ class TestFusedMultiRun:
             for a, b in zip(jax.tree.leaves(fs2)[:4],
                             jax.tree.leaves(active_before)[:4]))
         assert moved
+
+    def test_fit_multi_run_pallas_matches_solo_trainer(self, rng):
+        """fit_multi_run(epoch_backend='pallas') run r == a solo
+        Trainer.fit(seed=seeds[r], epoch_backend='pallas') — same kernel,
+        same key derivation, same chunked early stopping."""
+        from asr_using_robust_nn_tpu.train.trainer import Trainer
+
+        x, y = self._data(rng)
+        vx, vy = x[:64], y[:64]
+        cfg = MLPConfig(in_dim=20, n_classes=4, hidden=(32, 16),
+                        nonneg=True, dropout=(0.0, 0.0))
+        tcfg = TrainConfig(batch_size=64, epochs=4, patience=4,
+                           epochs_per_dispatch=2, device_resident=True,
+                           epoch_backend="pallas", pallas_interpret=True)
+        seeds = [3, 9]
+        con = make_simple_norm_constraint(0.5, n_iter=8)
+        res = fit_multi_run(cfg, tcfg, x, y, vx, vy, seeds,
+                            constraint=con.apply, constraint_init=con.init,
+                            epoch_backend="pallas")
+        assert res["best_params"]["layers"][0]["w"].shape[0] == 2
+        for r, s in enumerate(seeds):
+            p0, _ = init_mlp(cfg, jax.random.PRNGKey(0))
+            tr = Trainer(cfg, TrainConfig(
+                batch_size=64, epochs=4, patience=4, seed=s,
+                epochs_per_dispatch=2, device_resident=True,
+                epoch_backend="pallas", pallas_interpret=True),
+                constraint=con.apply, constraint_state=con.init(p0))
+            solo = tr.fit(x, y, vx, vy)
+            np.testing.assert_allclose(
+                res["history"]["val_loss"][:, r],
+                np.asarray(solo["history"]["val_loss"]), rtol=0, atol=1e-6)
+            for a, b in zip(
+                    jax.tree.leaves(jax.tree.map(lambda t, _r=r: t[_r],
+                                                 res["best_params"])),
+                    jax.tree.leaves(jax.tree.map(np.asarray,
+                                                 solo["best_params"]))):
+                np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+        # opt_state resumes: structure matches the optimizer template
+        from asr_using_robust_nn_tpu.train.multi_run import _make_optimizer
+        opt = _make_optimizer(tcfg)
+        one = jax.tree.map(lambda t: t[0], res["best_opt_state"])
+        p_one = jax.tree.map(lambda t: t[0], res["best_params"])
+        assert jax.tree.structure(one) == \
+            jax.tree.structure(opt.init(p_one))
+
+    def test_fit_multi_run_pallas_refuses_unsupported(self, rng):
+        x, y = self._data(rng)
+        tcfg = TrainConfig(batch_size=64, epochs=2, patience=2)
+        cfg = MLPConfig(in_dim=20, n_classes=4, hidden=(32, 16),
+                        dropout=(0.0, 0.0))
+        con = make_simple_norm_constraint(0.5, affected_layers_indices=(0,))
+        with pytest.raises(ValueError, match="pallas"):
+            fit_multi_run(cfg, tcfg, x, y, x[:64], y[:64], [0, 1],
+                          constraint=con.apply, constraint_init=con.init,
+                          epoch_backend="pallas")
