@@ -126,6 +126,13 @@ def _add_train_multi(sub):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--epochs-per-dispatch", type=int, default=8,
                    help="epochs fused per dispatch (early-stop granularity)")
+    p.add_argument("--epoch-backend", choices=["xla", "pallas"],
+                   default="xla",
+                   help="'pallas' = each run's epoch as one fused "
+                        "epoch-grid kernel, runs scanned (single device, "
+                        "fixed full simple_norm or unconstrained only; "
+                        "dropout PRNG differs from xla, so keep one "
+                        "backend across a merged study)")
     p.add_argument("--runs-mesh", action="store_true",
                    help="shard the runs axis across all visible devices "
                         "(ensemble parallelism: zero train-path collectives)")
@@ -580,7 +587,9 @@ def cmd_train_multi(args):
             return 2
 
     res = fit_multi_run(cfg, tcfg, tr, d.train_label, dv, d.dev_label,
-                        run_seeds, mesh=mesh, **kw)
+                        run_seeds, mesh=mesh,
+                        epoch_backend=getattr(args, "epoch_backend", "xla"),
+                        **kw)
 
     # one fused test eval across all runs, then per-run best checkpoints
     vb = 1024 if len(te) >= 1024 else max(8, len(te))
