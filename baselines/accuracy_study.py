@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -625,6 +626,62 @@ def _basin_threshold(pooled, min_gap=0.10):
     return float((v[i] + v[i + 1]) / 2)
 
 
+def _selection_analysis(ref_runs, fw_runs, probe, n_boot=20000, seed=0):
+    """Is a best-of-K delta's excess over the population (mean-of-K) delta
+    explained by SELECTION NOISE — val-loss selection carrying no
+    information about `probe` — or does selection genuinely favor one
+    pipeline? (VERDICT r4 item 6: the digit unconstrained noise@1.0 cell.)
+
+    Null model: within each corpus seed, the val-loss-selected restart is
+    exchangeable with a uniformly random restart. Resampling the ACTUAL
+    restart accuracies keeps the population shift and the per-seed
+    structure; only the selection is randomized, so the null's spread is
+    exactly the extra variance best-of-K adds when the selection criterion
+    is uninformative for the probe. Two-sided p: fraction of null draws at
+    least as far from the null mean as the observed best-of-K delta.
+
+    Also reports how informative val_loss actually is for the probe:
+    pooled within-(pipeline, seed) Spearman rho between val-loss rank and
+    probe-accuracy rank across the K restarts (ties broken by restart
+    order — accuracies are quantized at 100/n_test pts, so exact tie
+    handling moves rho by far less than its own noise)."""
+    rng = np.random.default_rng(seed)
+    n = len(ref_runs)
+    k = len(ref_runs[0])
+    ref_mat = np.array([[run[probe] for run in rr] for rr in ref_runs])
+    fw_mat = np.array([[run[probe] for run in rr] for rr in fw_runs])
+    rows = np.arange(n)
+    ri = rng.integers(0, k, size=(n_boot, n))
+    fi = rng.integers(0, k, size=(n_boot, n))
+    null = (fw_mat[rows, fi] - ref_mat[rows, ri]).mean(axis=1) * 100
+    ref_bok = [int(np.argmin([run["val_loss"] for run in rr]))
+               for rr in ref_runs]
+    fw_bok = [int(np.argmin([run["val_loss"] for run in rr]))
+              for rr in fw_runs]
+    obs = float(np.mean([fw_mat[s, fw_bok[s]] - ref_mat[s, ref_bok[s]]
+                         for s in range(n)]) * 100)
+    center = float(null.mean())
+    p_two = float(np.mean(np.abs(null - center) >= abs(obs - center)))
+    rank_pairs = []
+    for runs_ in (ref_runs, fw_runs):
+        for rr in runs_:
+            vl = np.array([run["val_loss"] for run in rr])
+            acc = np.array([run[probe] for run in rr])
+            rank_pairs.append((np.argsort(np.argsort(vl)),
+                               np.argsort(np.argsort(acc))))
+    a = np.concatenate([p[0] for p in rank_pairs]).astype(np.float64)
+    b = np.concatenate([p[1] for p in rank_pairs]).astype(np.float64)
+    a -= a.mean()
+    b -= b.mean()
+    denom = float(np.sqrt((a * a).sum() * (b * b).sum()))
+    rho = float((a * b).sum() / denom) if denom else 0.0
+    return {"bok_null_mean_pts": round(center, 2),
+            "bok_null_sd_pts": round(float(null.std(ddof=1)), 2),
+            "bok_null_p": round(p_two, 4),
+            "val_probe_spearman": round(rho, 3),
+            "n_boot": n_boot}
+
+
 def summarize(task_runs):
     """Per (variant, probe): seed-averaged mean-of-K deltas, BEST-OF-K
     deltas (each pipeline's val-loss-selected run per corpus seed — the
@@ -671,6 +728,11 @@ def summarize(task_runs):
             v[p]["framework_bok"] = round(float(fws_b.mean()), 4)
             v[p]["bok_delta_pts"] = round(float(bd.mean()), 2)
             v[p]["bok_delta_stderr_pts"] = round(bse, 2)
+            # selection-noise decomposition for every fused cell (rendered
+            # only for flagged ones): is the best-of-K excess over the
+            # mean-of-K delta selection noise, or selection-coupled?
+            if all(len(rr) > 1 for rr in ref_runs) and n > 1:
+                v[p]["selection"] = _selection_analysis(ref_runs, fw_runs, p)
             if "cross" in task_runs[0]:
                 crosses = np.array([r["cross"][variant][0][p]
                                     for r in task_runs])
@@ -801,6 +863,75 @@ def to_markdown(results) -> str:
                     row += " |"
                 lines.append(row)
         lines.append("")
+        # flagged-cell selection analysis (VERDICT r4 item 6): for each
+        # cell where an estimator column is out of band, decompose the
+        # best-of-K delta into population shift + selection effect using
+        # the stored per-restart accuracies (no retraining involved)
+        sel_lines = []
+        for variant, rows in t["summary"].items():
+            for probe, r in rows.items():
+                if probe == "basin" or "selection" not in r:
+                    continue
+                se = r.get("delta_stderr_pts", 0.0)
+                bse = r.get("bok_delta_stderr_pts", 0.0)
+                bok = r.get("bok_delta_pts", r["delta_pts"])
+                if (abs(r["delta_pts"]) <= max(0.5, 2 * se)
+                        and abs(bok) <= max(0.5, 2 * bse)):
+                    continue
+                s = r["selection"]
+                noise = s["bok_null_p"] >= 0.05
+                verdict = (
+                    "the best-of-K excess is SELECTION NOISE on an "
+                    "uninformative criterion — the population delta (mean "
+                    "column) is the meaningful estimate for this cell"
+                    if noise else
+                    "the selection effect is larger than the uninformative-"
+                    "selection null predicts — a selection-coupled "
+                    "difference that more corpus seeds must resolve")
+                line = (
+                    f"- **{variant} {probe}**: best-of-K {bok:+.2f} vs "
+                    f"mean {r['delta_pts']:+.2f}. Under the null that "
+                    f"val-loss selection is uninformative for this probe "
+                    f"(restarts exchangeable within each corpus seed; "
+                    f"{s['n_boot']} resamples of the actual restart "
+                    f"accuracies), the best-of-K delta is "
+                    f"{s['bok_null_mean_pts']:+.2f} ± "
+                    f"{s['bok_null_sd_pts']:.2f} pts and the observed "
+                    f"value has two-sided p = {s['bok_null_p']:.2f}; "
+                    f"pooled within-seed Spearman rho between val loss "
+                    f"and this probe's accuracy is "
+                    f"{s['val_probe_spearman']:+.3f}. Reading: {verdict}.")
+                if abs(r["delta_pts"]) > max(0.5, 2 * se) and se > 0:
+                    # the population delta itself is (marginally) out of
+                    # band — give the multiple-comparisons context instead
+                    # of leaving the z-score unstated
+                    z = abs(r["delta_pts"]) / se
+                    n_cells = sum(
+                        1 for _v, _rows in t["summary"].items()
+                        for _p in _rows if _p != "basin")
+                    p_cell = math.erfc(z / math.sqrt(2.0))
+                    p_family = 1.0 - (1.0 - p_cell) ** n_cells
+                    line += (
+                        f" The population delta itself sits at "
+                        f"z = {z:.1f} (two-sided p = {p_cell:.3f}); with "
+                        f"{n_cells} cells under test in this task, at "
+                        f"least one excursion this large occurs by chance "
+                        f"with probability {p_family:.2f}.")
+                sel_lines.append(line)
+        if sel_lines:
+            lines.append("### Flagged-cell selection analysis")
+            lines.append("")
+            lines.append(
+                "Best-of-K selects each pipeline's val-loss-best restart; "
+                "when val loss is uninformative for a probe, that "
+                "selection adds variance the across-seed stderr does not "
+                "capture (it is conditioned on the realized selections). "
+                "The null below randomizes ONLY the selection, keeping "
+                "the actual restart accuracies — its spread is exactly "
+                "the selection noise for that cell.")
+            lines.append("")
+            lines.extend(sel_lines)
+            lines.append("")
         for variant, rows in t["summary"].items():
             basin = rows.get("basin")
             if not basin:
@@ -1001,11 +1132,18 @@ def main():
         "tasks": {},
     }
     if args.md_only:
-        # stored summaries are used as-is: pre-round-4 runs (speaker K=1)
-        # predate the list-of-K run format summarize() expects, and every
-        # reporting-rule change lives in to_markdown anyway
+        # K-format tasks (every run carries train_seeds) get their summary
+        # RECOMPUTED so summarize()-level additions (e.g. the selection
+        # analysis) reach stored artifacts without retraining; pre-round-4
+        # K=1 runs predate the list-of-K format and keep their stored
+        # summary as-is
         with open(args.out) as f:
             prev = json.load(f)
+        for task, t in prev.get("tasks", {}).items():
+            if all("train_seeds" in r for r in t.get("runs", [])):
+                t["summary"] = summarize(t["runs"])
+        with open(args.out, "w") as f:
+            json.dump(prev, f, indent=2)
         md = to_markdown(prev)
         with open(args.md, "w") as f:
             f.write(md)
