@@ -581,6 +581,17 @@ def _make_epoch_kernel(spec: FusedStepSpec, n_batches: int):
     costs ~1.0 ms/epoch (weights VMEM-resident) vs ~3.3 ms/epoch as XLA
     ops — also extracted into ops/pallas_spectral.py for the XLA epoch's
     constraint.
+
+    Window-sensitivity addendum (2026-08-21): with a concurrent Keras run
+    saturating this VM's single host core, an in-bench measurement put
+    this kernel at 8.1 ms/epoch while the XLA arms held their usual
+    4.0-5.5 — the kernel's dispatch path is markedly more sensitive to
+    host starvation than XLA's (tunnel artifact; real TPU VMs don't run
+    the trainer against a starved host). Mechanisms that keep the
+    headline honest either way: bench's per-window winner key only
+    crowns the measured winner (that window correctly fell back to
+    lean_pi1), and the sentinel now carries a loadavg leg so a loaded
+    host marks the run suspect.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -176,9 +176,28 @@ def train_step_flops_per_utt(mcfg) -> float:
     return 3.0 * fwd
 
 
+def _cpu_busy_seconds():
+    """Aggregate non-idle CPU seconds across all cores from /proc/stat
+    (user+nice+system+irq+softirq+steal; idle and iowait excluded), or
+    None where /proc isn't available."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [float(x) for x in f.readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)
+        return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return None
+
+
 def measure_tpu(quick: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
+
+    # host-load probe anchors (consumed by the sanity sentinel at the end
+    # of the run; re-captured per call so the contention retry re-measures)
+    _bench_wall0 = time.time()
+    _bench_busy0 = _cpu_busy_seconds()
+    _bench_self0 = sum(os.times()[:4])
 
     from asr_using_robust_nn_tpu.constraints import make_simple_norm_constraint
     from asr_using_robust_nn_tpu.models.mlp import MLPConfig, init_mlp
@@ -653,11 +672,30 @@ def measure_tpu(quick: bool = False) -> dict:
     t_int8_end = _time_chain(
         lambda w: mfcc_int8_batch(w, cfg), waves, n_iter, rtt)
     drift = t_int8_end / t_int8
+    # Host-load leg of the sentinel (added after 2026-08-21: a concurrent
+    # single-core Keras run inflated the pallas epoch 2.8x while the XLA
+    # arms barely moved — dispatch-heavy legs are the load-sensitive ones,
+    # and the drift check alone cannot see load that is steady across the
+    # whole run). Signal: CPU seconds consumed by OTHER processes during
+    # this run — /proc/stat aggregate busy delta minus our own os.times()
+    # delta, as a fraction of wall time. Idle-box daemons sit well under
+    # 2%; the contaminating Keras fit was ~60% of the core.
+    busy1 = _cpu_busy_seconds()
+    wall_run = time.time() - _bench_wall0
+    other_cpu_frac = None
+    if _bench_busy0 is not None and busy1 is not None and wall_run > 0:
+        self_cpu = sum(os.times()[:4]) - _bench_self0
+        other_cpu_frac = max(0.0, (busy1 - _bench_busy0) - self_cpu) / wall_run
+    host_loaded = other_cpu_frac is not None and other_cpu_frac > 0.2
     sanity = {
         "mfcc_int8_ms_start": t_int8 * 1e3,
         "mfcc_int8_ms_end": t_int8_end * 1e3,
         "drift_ratio": drift,
-        "contention_suspected": bool(drift > 1.5 or drift < 1 / 1.5),
+        "other_cpu_frac": (None if other_cpu_frac is None
+                           else round(other_cpu_frac, 4)),
+        "host_loaded": bool(host_loaded),
+        "contention_suspected": bool(
+            drift > 1.5 or drift < 1 / 1.5 or host_loaded),
     }
     return {
         "mfcc_utts_per_s": mfcc_utts_per_s,
